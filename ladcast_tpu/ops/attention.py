@@ -47,10 +47,10 @@ def dot_product_attention(
         if impl == "pallas" and (bias is not None or q.shape[-1] > 256):
             impl = "xla"
     if impl == "pallas":
-        from ladcast_tpu.ops.pallas.flash_attention import flash_attention
         try:
+            from ladcast_tpu.ops.pallas.flash_attention import flash_attention
             return flash_attention(q, k, v)
-        except Exception:
+        except (ImportError, NotImplementedError):
             impl = "xla"
     if impl == "xla":
         scale = 1.0 / (q.shape[-1] ** 0.5)

@@ -1,0 +1,128 @@
+"""Autoregressive ensemble rollout engine -- the framework's flagship path.
+
+Reference behavior being rebuilt (SURVEY.md section 3.2): the reference
+loops ensemble members in host-side Python batches
+(pipelines/utils.py:664-742), calls the Heun sampler 10x per init time with
+frame feedback (pipelines/utils.py:533-563), and leaves the device for
+every decode. Here the ENTIRE 240h forecast is one jitted function:
+
+  * ensemble members ride the batch dimension (and shard over the mesh's
+    'ens' axis -- every member's denoiser call is a single large batched
+    matmul, MXU-friendly);
+  * the AR feedback loop is an outer ``lax.scan`` carrying the conditioning
+    frames;
+  * each 4-frame chunk is denoised by the Heun/DPM sampler's inner
+    ``lax.scan``;
+  * nothing returns to the host until the full latent trajectory
+    (E, total_steps, 15, 30, 84) is ready.
+
+Reproducible ensembles: the reference seeds member i with CPU generator
+seed i (pipelines/utils.py:703-705). We fold the member index into the base
+PRNG key -- the same determinism contract (member i identical across runs
+and across batch splits), with TPU-native randomness.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ladcast_tpu.config import EDMSchedulerConfig, RolloutConfig
+from ladcast_tpu.diffusion import edm
+from ladcast_tpu.diffusion.samplers import dpm_multistep_sample, edm_heun_sample
+
+# net_fn(latents (E,T,H,W,C), c_noise (E,), cond (E,Tin,H,W,C), yp (E,)) -> F
+NetFn = Callable[..., jnp.ndarray]
+
+
+def member_noise(key: jax.Array, num_members: int, shape, dtype=jnp.float32):
+    """Per-member Gaussian noise with member-index key folding: member i's
+    stream depends only on (key, i), mirroring the reference's
+    seed-by-member-index contract."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(num_members))
+    return jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(keys)
+
+
+def ensemble_rollout(
+    net_fn: NetFn,
+    known_latents: jnp.ndarray,      # (E, T_in, H, W, C) normalized latents
+    year_progress: jnp.ndarray,      # (num_repetitions,) float32
+    key: jax.Array,
+    sched_cfg: EDMSchedulerConfig,
+    cfg: RolloutConfig,
+    *,
+    latent_std: Optional[jnp.ndarray] = None,  # (C,) physical latent std
+) -> jnp.ndarray:
+    """Run the full AR ensemble forecast.
+
+    Returns (E, num_repetitions * return_seq_len, H, W, C) normalized
+    latent frames (lead times step_size_hour .. total; the t=0 frame is the
+    caller's input, as in pipelines/utils.py:486-505).
+    """
+    E, T_in, H, W, C = known_latents.shape
+    T_out = cfg.return_seq_len
+    n_reps = cfg.num_repetitions
+    assert year_progress.shape[0] == n_reps
+    traj_dtype = jnp.dtype(cfg.trajectory_dtype)
+
+    key, pert_key = jax.random.split(key)
+    if cfg.noise_level > 0:
+        # Initial-latent perturbation (pipelines/utils.py:518-528): noise
+        # scaled by noise_level * per-channel PHYSICAL latent std, added in
+        # normalized space (reference semantics preserved verbatim).
+        assert latent_std is not None
+        pert = member_noise(pert_key, E, (T_in, H, W, C),
+                            known_latents.dtype)
+        known_latents = known_latents + pert * cfg.noise_level * latent_std
+
+    rep_keys = jax.random.split(key, n_reps)
+
+    def one_repetition(known, inputs):
+        rep_key, yp = inputs
+        noise = member_noise(rep_key, E, (T_out, H, W, C), traj_dtype)
+
+        yp_b = jnp.broadcast_to(yp, (E,))
+
+        def raw_net(x_in, c_noise):
+            cn = jnp.broadcast_to(c_noise, (E,))
+            return net_fn(x_in, cn, known, yp_b)
+
+        def denoised_fn(x, sigma):
+            x_in = edm.precondition_inputs(sched_cfg, x, sigma)
+            c_noise = edm.precondition_noise(sigma)
+            f = raw_net(x_in.astype(jnp.float32), c_noise.astype(jnp.float32))
+            return edm.precondition_outputs(sched_cfg, x, f.astype(x.dtype),
+                                            sigma)
+
+        if cfg.sampler_type == "edm":
+            samples = edm_heun_sample(
+                sched_cfg, denoised_fn, noise, cfg.num_inference_steps,
+                dtype=traj_dtype)
+        elif cfg.sampler_type == "dpm":
+            samples = dpm_multistep_sample(
+                sched_cfg, denoised_fn, noise, cfg.num_inference_steps,
+                dtype=traj_dtype)
+        else:
+            raise ValueError(cfg.sampler_type)
+
+        samples = samples.astype(known.dtype)
+        new_known = samples[:, -T_in:]  # frame feedback (utils.py:563)
+        return new_known, samples
+
+    _, traj = jax.lax.scan(one_repetition, known_latents,
+                           (rep_keys, year_progress))
+    # (n_reps, E, T_out, H, W, C) -> (E, n_reps*T_out, H, W, C)
+    traj = jnp.moveaxis(traj, 0, 1).reshape(E, n_reps * T_out, H, W, C)
+    return traj[:, : cfg.total_num_steps]
+
+
+def make_rollout_fn(net_fn: NetFn, sched_cfg: EDMSchedulerConfig,
+                    cfg: RolloutConfig):
+    """Partial application returning a (known, year_progress, key) -> traj
+    function ready for jit/pjit."""
+    return partial(ensemble_rollout, net_fn,
+                   sched_cfg=sched_cfg, cfg=cfg)

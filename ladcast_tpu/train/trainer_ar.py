@@ -1,0 +1,161 @@
+"""AR diffusion trainer: EDM-objective training of the LaDCast DiT on
+pre-encoded latents.
+
+Rebuilds the reference hot loop (train_AR.py:866-1083, SURVEY.md
+section 3.1) as one jitted, mesh-sharded step:
+
+  * lognormal sigma-index sampling per example (models/utils.py:9-50)
+  * add_noise + precondition_inputs
+  * push-forward trick: target frames split into chunks; chunks >= 1 are
+    conditioned on the (stop-gradient) EDM-preconditioned prediction of
+    the previous chunk, with year-progress advanced 6h per chunk
+    (train_AR.py:927-964)
+  * precondition_outputs + EDM lambda(sigma) weighting, optional
+    latitude-weighted loss on the 15-row latent grid (train_AR.py:1014-1032)
+  * global-norm clip 1.0, AdamW, cosine-min-LR schedule, EMA
+
+Data parallelism: the batch is sharded over the mesh's "data" axis and
+parameters replicated -- XLA inserts the gradient all-reduce (the NCCL DDP
+equivalent) when the jitted step produces replicated grads.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ladcast_tpu.config import (
+    EDMSchedulerConfig,
+    LaDCastDiTConfig,
+    NoiseSamplerConfig,
+)
+from ladcast_tpu.diffusion import edm
+from ladcast_tpu.diffusion.noise_sampler import sample_sigma_indices
+from ladcast_tpu.metrics.weights import latent_lat_weights
+from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+from ladcast_tpu.train import ema as ema_lib
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    ema: Optional[ema_lib.EMAState]
+    step: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class ARTrainConfig:
+    num_push_forward_steps: int = 1
+    lat_weighted_loss: bool = False
+    use_ema: bool = True
+    ema_max_decay: float = 0.9999
+    ema_power: float = 2.0 / 3.0
+    ema_inv_gamma: float = 1.0
+    ema_update_after_step: int = 1000
+    input_seq_len: int = 1
+    compute_dtype: str = "bfloat16"  # activations; params stay fp32
+    remat: bool = False              # jax.checkpoint over blocks (1.6B)
+
+
+def make_ar_train_step(
+    dit_cfg: LaDCastDiTConfig,
+    sched_cfg: EDMSchedulerConfig,
+    ns_cfg: NoiseSamplerConfig,
+    tcfg: ARTrainConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Returns (init_fn, train_step).
+
+    train_step(state, batch, key) -> (state, metrics) where batch is
+      initial_profile: (B, T_in, h, w, C) normalized conditioning latents
+      clean:           (B, T_out, h, w, C) normalized target latents
+      year_progress:   (B, num_push_forward_steps) float32 (host-computed
+                       year progress of t0 + 6h*s for each chunk s)
+    """
+    model = LaDCastTransformer3D(dit_cfg)
+    train_sig = edm.train_sigmas(sched_cfg)
+    c_dtype = jnp.dtype(tcfg.compute_dtype)
+
+    lat_w = None
+    if tcfg.lat_weighted_loss:
+        lat_w = jnp.asarray(latent_lat_weights(), jnp.float32)
+        lat_w = lat_w.reshape(1, 1, -1, 1, 1)  # (1, T, H, W, C) broadcast
+
+    def apply_model(params, x_in, c_noise, cond, yp):
+        fn = model.apply
+        if tcfg.remat:
+            fn = jax.checkpoint(model.apply, static_argnums=())
+        return fn(params, x_in.astype(c_dtype), c_noise,
+                  cond.astype(c_dtype), yp).astype(jnp.float32)
+
+    def loss_fn(params, batch, key, step):
+        initial_profile, clean, year_progress = batch
+        B, T_out = clean.shape[0], clean.shape[1]
+        n_pf = tcfg.num_push_forward_steps
+        assert T_out % n_pf == 0
+        n_slice = T_out // n_pf
+        t_in = tcfg.input_seq_len
+
+        k_idx, k_noise = jax.random.split(key)
+        indices = sample_sigma_indices(k_idx, B, step, ns_cfg, sched_cfg)
+        sigma = train_sig[indices].reshape(B, 1, 1, 1, 1)
+        c_noise = edm.precondition_noise(sigma.reshape(B))
+
+        noise = jax.random.normal(k_noise, clean.shape, jnp.float32)
+        noisy = edm.add_noise(clean, noise, sigma)
+        x_in = edm.precondition_inputs(sched_cfg, noisy, sigma)
+
+        preds = []
+        cond = initial_profile
+        for s in range(n_pf):
+            sl = slice(s * n_slice, (s + 1) * n_slice)
+            if s >= 1:
+                prev = slice(s * n_slice - t_in, s * n_slice)
+                cond = edm.precondition_outputs(
+                    sched_cfg, noisy[:, prev],
+                    jax.lax.stop_gradient(preds[-1][:, -t_in:]), sigma)
+            preds.append(apply_model(params, x_in[:, sl], c_noise, cond,
+                                     year_progress[:, s]))
+        model_pred = jnp.concatenate(preds, axis=1)
+
+        model_pred = edm.precondition_outputs(sched_cfg, noisy, model_pred,
+                                              sigma)
+        weighting = edm.edm_loss_weighting(sched_cfg, sigma)
+        sq = (model_pred - clean.astype(jnp.float32)) ** 2
+        if lat_w is not None:
+            sq = lat_w * sq
+        loss = jnp.mean(weighting * sq)
+        aux = {"loss": loss, "mean_sigma_index": indices.mean()}
+        return loss, aux
+
+    def train_step(state: TrainState, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key, state.step)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_state = state.ema
+        if ema_state is not None:
+            ema_state = ema_lib.ema_update(
+                ema_state, params,
+                inv_gamma=tcfg.ema_inv_gamma, power=tcfg.ema_power,
+                max_decay=tcfg.ema_max_decay,
+                update_after_step=tcfg.ema_update_after_step)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, ema_state, state.step + 1), aux
+
+    def init_fn(key, example_batch):
+        initial_profile, clean, year_progress = example_batch
+        params = model.init(key, clean, jnp.zeros((clean.shape[0],)),
+                            initial_profile, year_progress[:, 0])
+        opt_state = optimizer.init(params)
+        ema_state = ema_lib.ema_init(params) if tcfg.use_ema else None
+        return TrainState(params, opt_state, ema_state,
+                          jnp.zeros((), jnp.int32))
+
+    return init_fn, train_step
