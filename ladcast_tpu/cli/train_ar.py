@@ -1,0 +1,176 @@
+"""AR diffusion training CLI.
+
+TPU-native equivalent of ``accelerate launch train_AR.py --config
+configs/ladcast_375M.yaml`` (reference train_AR.py:478-1222): one process
+per host, a jitted data-parallel train step over the device mesh, orbax
+checkpointing with rotation, EMA, JSON-lines/wandb metric logging.
+
+Usage:
+  python -m ladcast_tpu.cli.train_ar --config configs/ladcast_375m.yaml \
+      [--latents path.zarr|path.npz] [--resume latest]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ladcast_tpu import static_data
+from ladcast_tpu.config import (
+    EDMSchedulerConfig,
+    LaDCastDiTConfig,
+    NoiseSamplerConfig,
+    config_from_dict,
+)
+from ladcast_tpu.data.latent_dataset import (
+    ARLatentDataset,
+    ARWindowConfig,
+    ArrayLatentSource,
+    batch_iterator,
+    open_zarr_latent_source,
+)
+from ladcast_tpu.parallel.mesh import make_mesh
+from ladcast_tpu.train import checkpoint as ckpt
+from ladcast_tpu.train.optim import make_optimizer
+from ladcast_tpu.train.trainer_ar import ARTrainConfig, make_ar_train_step
+from ladcast_tpu.utils.logging_utils import MetricLogger
+from ladcast_tpu.utils.registry import load_yaml
+
+
+def load_latent_source(path: str, start_date=None, end_date=None,
+                       load_in_memory=True):
+    if path.endswith(".npz"):
+        d = np.load(path)
+        return ArrayLatentSource(d["latents"], d["timestamps"])
+    return open_zarr_latent_source(path, start_date=start_date,
+                                   end_date=end_date,
+                                   load_in_memory=load_in_memory)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--latents", default=None)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--num_steps", type=int, default=None)
+    ap.add_argument("--num_push_forward_steps", type=int, default=1)
+    ap.add_argument("--lat_weighted_loss", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    cfg = load_yaml(args.config)
+    model_cfg = config_from_dict(LaDCastDiTConfig, cfg.get("ar_model", {}))
+    sched_cfg = config_from_dict(EDMSchedulerConfig,
+                                 cfg.get("noise_scheduler", {}).get("params", {}))
+    ns_cfg = config_from_dict(NoiseSamplerConfig, cfg.get("noise_sampler", {}))
+    dl_cfg = cfg.get("train_dataloader", {})
+    opt_cfg = cfg.get("optimizer", {})
+    lr_cfg = cfg.get("lr_scheduler", {})
+    gen_cfg = cfg.get("general", {})
+    ema_cfg = cfg.get("ema", {})
+
+    out_dir = args.output_dir or gen_cfg.get("output_dir", "runs/ar")
+    num_steps = args.num_steps or gen_cfg.get("num_training_steps") or 100000
+
+    tcfg = ARTrainConfig(
+        num_push_forward_steps=args.num_push_forward_steps,
+        lat_weighted_loss=args.lat_weighted_loss,
+        use_ema=ema_cfg.get("use_ema", True),
+        ema_max_decay=ema_cfg.get("ema_max_decay", 0.9999),
+        ema_power=ema_cfg.get("ema_power", 2 / 3),
+        ema_inv_gamma=ema_cfg.get("ema_inv_gamma", 1.0),
+        ema_update_after_step=ema_cfg.get("ema_update_after_step", 1000),
+        input_seq_len=dl_cfg.get("input_seq_len", 1),
+    )
+    optimizer = make_optimizer(
+        lr=float(opt_cfg.get("lr", 1e-4)),
+        weight_decay=float(opt_cfg.get("weight_decay", 1e-2)),
+        betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+        eps=float(opt_cfg.get("eps", 1e-8)),
+        num_warmup_steps=lr_cfg.get("num_warmup_steps", 1000),
+        num_training_steps=num_steps,
+        schedule=lr_cfg.get("name", "cosine"),
+        min_lr=float(lr_cfg.get("min_lr", 0.0)),
+    )
+    init_fn, train_step = make_ar_train_step(model_cfg, sched_cfg, ns_cfg,
+                                             tcfg, optimizer)
+
+    # Data
+    lm, ls = static_data.latent_mean_std()
+    source = load_latent_source(
+        args.latents or dl_cfg.get("ds_path"),
+        start_date=dl_cfg.get("start_date"), end_date=dl_cfg.get("end_date"),
+        load_in_memory=dl_cfg.get("load_in_memory", True))
+    wcfg = ARWindowConfig(
+        input_seq_len=dl_cfg.get("input_seq_len", 1),
+        return_seq_len=dl_cfg.get("return_seq_len", 4),
+        interval_between_pred=dl_cfg.get("interval_between_pred", 6),
+        sampling_interval=dl_cfg.get("sampling_interval", 1))
+    dataset = ARLatentDataset(source, wcfg, mean=lm, std=ls,
+                              target_std=0.5)
+
+    mesh = make_mesh("data")
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    per_device_bs = dl_cfg.get("batch_size", 4)
+    global_bs = per_device_bs * len(mesh.devices.ravel())
+
+    it = batch_iterator(dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
+                        seed=args.seed,
+                        num_push_forward_steps=tcfg.num_push_forward_steps)
+    example = next(it)
+    example = jax.tree.map(jnp.asarray, example)
+
+    state = init_fn(jax.random.PRNGKey(args.seed), example)
+    mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"),
+                            max_to_keep=gen_cfg.get("checkpoints_total_limit", 3))
+    start_step = 0
+    if args.resume:
+        state = ckpt.restore_state(
+            mgr, state, None if args.resume == "latest" else int(args.resume))
+        start_step = int(state.step)
+
+    state = jax.device_put(state, repl)
+    step_fn = jax.jit(train_step, in_shardings=(repl, (bsh, bsh, bsh), repl),
+                      out_shardings=(repl, repl), donate_argnums=0)
+
+    logger = MetricLogger(out_dir, config=cfg,
+                          log_with=cfg.get("accelerator", {}).get("log_with",
+                                                                  "jsonl"))
+    key = jax.random.PRNGKey(args.seed + jax.process_index())
+    ckpt_every = gen_cfg.get("checkpointing_steps", 50000)
+    t0 = time.time()
+    step = start_step
+    while step < num_steps:
+        batch = example if step == start_step else next(it, None)
+        if batch is None:
+            it = batch_iterator(
+                dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
+                seed=args.seed + step,
+                num_push_forward_steps=tcfg.num_push_forward_steps)
+            batch = next(it)
+        batch = jax.device_put(jax.tree.map(jnp.asarray, batch), bsh)
+        key, sub = jax.random.split(key)
+        state, aux = step_fn(state, batch, sub)
+        step += 1
+        if step % 50 == 0 or step == start_step + 1:
+            logger.log({"loss": float(aux["loss"]),
+                        "grad_norm": float(aux["grad_norm"]),
+                        "steps_per_s": 50 / max(time.time() - t0, 1e-9)},
+                       step)
+            t0 = time.time()
+        if step % ckpt_every == 0 or step == num_steps:
+            ckpt.save_state(mgr, step, jax.device_get(state))
+    mgr.wait_until_finished()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""AR training dataset over pre-encoded latents.
+
+Port of the reference ``XarrayDataset3D`` windowing semantics
+(dataloader/ar_dataloder.py:74-162): items are
+  (input frames (T_in, h, w, C), target frames (T_out, h, w, C),
+   timestamp int YYYYMMDDHH of the first input frame)
+with strided time sampling (``sampling_interval``) applied first, then a
+window of total extent (T_in + T_out - 1) * interval_between_pred + 1.
+
+Backends:
+  * ZarrLatentSource -- xarray/zarr (matches the reference storage layout
+    ``latents`` (time, C, H, W) or (C, time, H, W)); optional dependency.
+  * ArrayLatentSource -- an in-memory / .npy array (time, h, w, C) with an
+    accompanying hourly timestamp vector; used in the minimal image and by
+    tests, and the target of the C++ shard reader.
+
+The iterator is a host-side prefetching loader that yields
+device-put-ready numpy batches; shuffling uses a seeded permutation per
+epoch (reference uses the torch DataLoader shuffle).
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ladcast_tpu.data import time_utils
+
+
+class ArrayLatentSource:
+    """Latents as (time, h, w, C) ndarray + int64 YYYYMMDDHH timestamps."""
+
+    def __init__(self, latents: np.ndarray, timestamps: Sequence[int]):
+        assert latents.ndim == 4
+        assert len(timestamps) == latents.shape[0]
+        self.latents = latents
+        self.timestamps = np.asarray(timestamps, np.int64)
+
+    def __len__(self):
+        return self.latents.shape[0]
+
+    def frames(self, idx: np.ndarray) -> np.ndarray:
+        return self.latents[idx]
+
+    def timestamp(self, idx: int) -> int:
+        return int(self.timestamps[idx])
+
+
+def open_zarr_latent_source(path: str, var_name: str = "latents",
+                            start_date: Optional[str] = None,
+                            end_date: Optional[str] = None,
+                            load_in_memory: bool = False):
+    """Open a reference-format latent zarr (requires xarray+zarr)."""
+    import pandas as pd  # optional deps
+    import xarray as xr
+
+    ds = xr.open_dataset(path, engine="zarr", chunks="auto")
+    if start_date or end_date:
+        ds = ds.sel(time=slice(start_date, end_date))
+    da = ds[var_name]
+    # normalize to (time, H, W, C)
+    dims = list(da.dims)
+    order = [d for d in ("time", "H", "W", "C") if d in dims]
+    if set(order) == set(dims):
+        da = da.transpose("time", "H", "W", "C")
+    else:  # reference layout (C, time, H, W)
+        da = da.transpose(da.dims[1], da.dims[0], *da.dims[2:])
+    if load_in_memory:
+        da = da.load()
+    ts = [time_utils.timestamp_str_to_int(str(t)[:13])
+          for t in pd.to_datetime(da["time"].values).strftime("%Y-%m-%dT%H")]
+    arr = np.asarray(da.values, np.float32)
+    if arr.shape[1] < arr.shape[-1]:  # (time, C, H, W) -> (time, H, W, C)
+        arr = np.transpose(arr, (0, 2, 3, 1))
+    return ArrayLatentSource(arr, ts)
+
+
+@dataclass
+class ARWindowConfig:
+    input_seq_len: int = 1
+    return_seq_len: int = 4
+    interval_between_pred: int = 6  # in source steps (hours for hourly data)
+    sampling_interval: int = 1
+    truncate_first: int = 0
+
+
+class ARLatentDataset:
+    """Map-style windowed view (ar_dataloder.py:74-162 semantics)."""
+
+    def __init__(self, source, cfg: ARWindowConfig,
+                 mean: Optional[np.ndarray] = None,
+                 std: Optional[np.ndarray] = None,
+                 target_std: float = 0.5):
+        self.cfg = cfg
+        self.source = source
+        self.mean = mean
+        self.std = std
+        self.target_std = target_std
+        self._index = np.arange(cfg.truncate_first, len(source),
+                                cfg.sampling_interval)
+        self.full_seq_len = (cfg.input_seq_len + cfg.return_seq_len - 1) \
+            * cfg.interval_between_pred + 1
+        self.length = len(self._index) - self.full_seq_len \
+            - cfg.truncate_first + 1
+        assert self.length > 0, "source too short for the requested window"
+
+    def __len__(self):
+        return self.length
+
+    def _window_idx(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        c = self.cfg
+        input_end = idx + (c.input_seq_len - 1) * c.interval_between_pred
+        pred_start = input_end + c.interval_between_pred
+        in_idx = np.arange(idx, input_end + 1, c.interval_between_pred)
+        out_idx = np.arange(
+            pred_start,
+            pred_start + (c.return_seq_len - 1) * c.interval_between_pred + 1,
+            c.interval_between_pred)
+        return self._index[in_idx], self._index[out_idx]
+
+    def _transform(self, x):
+        if self.mean is None:
+            return x
+        return (x - self.mean) / self.std * self.target_std
+
+    def __getitem__(self, idx: int):
+        in_idx, out_idx = self._window_idx(idx)
+        inp = self._transform(self.source.frames(in_idx).astype(np.float32))
+        out = self._transform(self.source.frames(out_idx).astype(np.float32))
+        ts = self.source.timestamp(int(in_idx[0]))
+        return inp, out, ts
+
+
+def batch_iterator(
+    dataset: ARLatentDataset,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_push_forward_steps: int = 1,
+    drop_last: bool = True,
+    prefetch: int = 2,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (initial_profile, clean, year_progress) numpy batches, with
+    year_progress shaped (B, num_push_forward_steps) -- progress of
+    t0 + 6h*s for each push-forward chunk s (see trainer_ar)."""
+
+    def produce(q: queue_mod.Queue, epoch_seed: int):
+        rng = np.random.RandomState(epoch_seed)
+        order = rng.permutation(len(dataset)) if shuffle \
+            else np.arange(len(dataset))
+        n = (len(order) // batch_size) * batch_size if drop_last \
+            else len(order)
+        for s in range(0, n, batch_size):
+            idxs = order[s:s + batch_size]
+            inps, outs, yps = [], [], []
+            for i in idxs:
+                inp, out, ts = dataset[int(i)]
+                inps.append(inp)
+                outs.append(out)
+                yps.append([time_utils.year_progress(
+                    time_utils.int_to_datetime(
+                        time_utils.add_hours_int(ts, 6 * k)))
+                    for k in range(num_push_forward_steps)])
+            q.put((np.stack(inps), np.stack(outs),
+                   np.asarray(yps, np.float32)))
+        q.put(None)
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+    t = threading.Thread(target=produce, args=(q, seed), daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item

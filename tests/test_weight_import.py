@@ -1,0 +1,79 @@
+"""Weight-import mapping coverage: every parameter of our models maps to
+exactly one reference tensor name, every synthesized reference tensor is
+consumed, shapes convert correctly, and values land where expected."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladcast_tpu.models import weight_import as wi
+from ladcast_tpu.models.dcae import AutoencoderDC
+from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+from tests.test_dcae import TINY as TINY_DCAE
+from tests.test_dit import TINY as TINY_DIT
+
+
+def _shapes(tree):
+    return jax.tree.map(lambda x: tuple(np.shape(x)), tree)
+
+
+def test_dcae_roundtrip_mapping():
+    model = AutoencoderDC(TINY_DCAE)
+    x = jax.ShapeDtypeStruct((1, 16, 32, 8), jnp.float32)
+    st = jax.ShapeDtypeStruct((16, 32, 1), jnp.float32)
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, st)
+
+    sd = wi.synthesize_reference_state_dict(template, "dcae")
+    # key set sanity: diffusers-style names present
+    assert "encoder.conv_in.weight" in sd
+    assert any(k.startswith("decoder.up_blocks.0.") for k in sd)
+    assert any(".attn.to_qkv_multiscale.0.proj_in.weight" in k for k in sd)
+
+    params = wi.convert_dcae_state_dict(sd, template)
+    assert _shapes(params) == _shapes(template)
+
+    # Spot value checks: linear transpose and conv transpose.
+    w = sd["encoder.conv_in.weight"]  # (O, I, 3, 3)
+    got = params["params"]["encoder"]["conv_in"]["kernel"]
+    np.testing.assert_array_equal(got, np.transpose(w, (2, 3, 1, 0)))
+
+
+def test_dit_roundtrip_mapping():
+    model = LaDCastTransformer3D(TINY_DIT)
+    lat = jax.ShapeDtypeStruct((1, 3, 4, 6, 6), jnp.float32)
+    cond = jax.ShapeDtypeStruct((1, 1, 4, 6, 6), jnp.float32)
+    cn = jax.ShapeDtypeStruct((1,), jnp.float32)
+    yp = jax.ShapeDtypeStruct((1,), jnp.float32)
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0), lat, cn,
+                              cond, yp)
+
+    sd = wi.synthesize_reference_state_dict(template, "dit")
+    expected_names = [
+        "x_embedder.proj.weight",
+        "context_embedder.proj.bias",
+        "context_refiner.time_text_embed.timestep_embedder.linear_1.weight",
+        "context_refiner.time_text_embed.text_embedder.linear_1.weight",
+        "context_refiner.token_refiner.refiner_blocks.0.attn.to_q.weight",
+        "context_refiner.token_refiner.refiner_blocks.0.norm_out.linear.weight",
+        "context_refiner.token_refiner.refiner_blocks.0.ff.net.0.proj.weight",
+        "transformer_blocks.0.attn.add_q_proj.weight",
+        "transformer_blocks.0.attn.norm_added_k.weight",
+        "transformer_blocks.0.attn.to_out.0.weight",
+        "transformer_blocks.0.ff_context.net.2.bias",
+        "transformer_blocks.0.norm1.linear.weight",
+        "single_transformer_blocks.0.norm.linear.weight",
+        "single_transformer_blocks.0.proj_mlp.weight",
+        "time_elapsed_embed.linear_1.weight",
+        "norm_out.linear.weight",
+        "proj_out.bias",
+    ]
+    for name in expected_names:
+        assert name in sd, name
+
+    params = wi.convert_dit_state_dict(sd, template)
+    assert _shapes(params) == _shapes(template)
+
+    # Patch embed: Conv3d (O, I, 1, 1, 1) -> Dense (I, O).
+    w = sd["x_embedder.proj.weight"]
+    got = params["params"]["x_embedder"]["kernel"]
+    np.testing.assert_array_equal(got, w[:, :, 0, 0, 0].T)
