@@ -3,7 +3,8 @@
 20-member, 240h (40 x 6h) autoregressive ensemble rollout of the 375M
 LaDCast DiT at 20 Heun denoise steps per 4-frame chunk -- 10 AR steps x 39
 denoiser calls x 20 members = 7,800 member-forward passes -- plus the
-initial DCAE encode and all 800 frame decodes, entirely on-device.
+initial DCAE encode and all 800 frame decodes, entirely on-device
+(network in bfloat16, EDM trajectory in fp32).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
@@ -23,6 +24,8 @@ import numpy as np
 
 
 def main():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from ladcast_tpu.config import (
         DCAEConfig,
         EDMSchedulerConfig,
@@ -32,12 +35,10 @@ def main():
     from ladcast_tpu.models.dcae import AutoencoderDC
     from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
     from ladcast_tpu.parallel.mesh import make_mesh
-    from ladcast_tpu.rollout.engine import ensemble_rollout
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ladcast_tpu.rollout.pipeline import ForecastPipeline
 
     devices = jax.devices()
     n_chips = len(devices)
-    compute_dtype = jnp.bfloat16
 
     dit_cfg = ladcast_375m_config()
     dcae_cfg = DCAEConfig()
@@ -50,59 +51,47 @@ def main():
     dit = LaDCastTransformer3D(dit_cfg)
     dcae = AutoencoderDC(dcae_cfg)
 
-    key = jax.random.PRNGKey(0)
     T_in, H, W, C = rcfg.input_seq_len, 15, 30, 84
     GH, GW = 120, 240
 
-    fields = jax.random.normal(key, (T_in, GH, GW, C), jnp.float32)
-    static = jax.random.normal(key, (GH, GW, 5), jnp.float32)
+    fields = jax.random.normal(jax.random.PRNGKey(0), (T_in, GH, GW, C),
+                               jnp.float32)
+    static = jax.random.normal(jax.random.PRNGKey(1), (GH, GW, 5),
+                               jnp.float32)
 
-    dcae_params = jax.jit(dcae.init)(jax.random.PRNGKey(1), fields, static)
-    lat_example = jnp.zeros((1, rcfg.return_seq_len, H, W, C), jnp.float32)
-    cond_example = jnp.zeros((1, T_in, H, W, C), jnp.float32)
+    dcae_params = jax.jit(dcae.init)(jax.random.PRNGKey(2),
+                                     fields, static)
     dit_params = jax.jit(dit.init)(
-        jax.random.PRNGKey(2), lat_example, jnp.zeros((1,)), cond_example,
-        jnp.zeros((1,)))
-    dit_params = jax.tree.map(lambda x: x.astype(compute_dtype), dit_params)
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, rcfg.return_seq_len, H, W, C)), jnp.zeros((1,)),
+        jnp.zeros((1, T_in, H, W, C)), jnp.zeros((1,)))
+
+    pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
+                            dit_params, dcae_params)
 
     mesh = make_mesh("ens")
-    repl = NamedSharding(mesh, P())
     ens_sh = NamedSharding(mesh, P("ens"))
-
-    def net_fn(latents, c_noise, cond, yp):
-        out = dit.apply(dit_params, latents.astype(compute_dtype), c_noise,
-                        cond.astype(compute_dtype), yp)
-        return out.astype(jnp.float32)
 
     year_progress = jnp.linspace(0.4, 0.45, rcfg.num_repetitions)
 
-    @jax.jit
-    def full_forecast(fields, static, key):
-        z = dcae.apply(dcae_params, fields, static,
-                       method=AutoencoderDC.encode)
-        known = jnp.broadcast_to(z[None], (ens, T_in, H, W, C))
-        known = jax.lax.with_sharding_constraint(known, ens_sh)
-        traj = ensemble_rollout(net_fn, known, year_progress, key,
-                                sched_cfg, rcfg)
-        # decode all frames, chunked over lead time
-        E, T = traj.shape[:2]
-        z_flat = traj.reshape(E * T, H, W, C)
-        dec = jax.lax.map(
-            lambda zc: dcae.apply(dcae_params, zc,
-                                  method=AutoencoderDC.decode),
-            z_flat.reshape(-1, E, H, W, C))
-        # return small summaries to keep D2H tiny
-        return traj.mean(), dec.mean()
+    def full_forecast(key):
+        z = pipe.encode_fields(fields)
+        z = pipe.normalize_latent(z)
+        known = jnp.broadcast_to(z[None], (ens, *z.shape))
+        if n_chips > 1:
+            known = jax.device_put(known, ens_sh)
+        traj = pipe.forecast_latents(known, year_progress, key)
+        decoded = pipe.decode_latents(traj)
+        # tiny device->host summary only
+        return float(jnp.mean(traj)), float(jnp.mean(decoded[:, -1]))
 
-    # Compile (excluded from timing), then measure.
-    out = full_forecast(fields, static, jax.random.PRNGKey(3))
-    jax.block_until_ready(out)
+    # Compile (excluded), then measure.
+    full_forecast(jax.random.PRNGKey(4))
 
     times = []
     for i in range(2):
         t0 = time.perf_counter()
-        out = full_forecast(fields, static, jax.random.PRNGKey(4 + i))
-        jax.block_until_ready(out)
+        full_forecast(jax.random.PRNGKey(5 + i))
         times.append(time.perf_counter() - t0)
     measured = min(times)
 

@@ -1,0 +1,86 @@
+"""Encode an ERA5 archive through the frozen DCAE into a latent dataset.
+
+Equivalent of the reference preprocecss/encode_data.py:19-225 (direct
+xarray path): normalize + SST-mask each snapshot, encode with statics in
+device-batched chunks, and write latents (time, 84, 15, 30) -- to zarr
+when xarray/zarr are available, else to an ``.npz`` bundle consumable by
+the AR trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladcast_tpu import static_data
+from ladcast_tpu.config import DCAEConfig
+from ladcast_tpu.data import transforms
+from ladcast_tpu.models.dcae import AutoencoderDC
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="ERA5 zarr or .npz bundle")
+    ap.add_argument("--dcae_params", required=True)
+    ap.add_argument("--output", required=True, help=".zarr or .npz path")
+    ap.add_argument("--batch_size", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource, \
+        _load_any_params
+
+    cfg = DCAEConfig()
+    dcae = AutoencoderDC(cfg)
+    params = _load_any_params(args.dcae_params, "dcae", cfg)
+    static = jnp.asarray(static_data.static_conditioning_tensor(layout="HWC"))
+    fm, fs = static_data.era5_mean_std()
+
+    @jax.jit
+    def encode(batch):
+        x = transforms.normalize(batch, jnp.asarray(fm), jnp.asarray(fs))
+        x = jnp.where(jnp.isnan(x), -2.0, x)
+        return dcae.apply(params, x, static, method=AutoencoderDC.encode)
+
+    if args.data.endswith(".npz"):
+        src = NpzFieldSource(args.data)
+        fields, timestamps = src.fields, np.asarray(src.timestamps)
+    else:
+        src = ZarrFieldSource(args.data)
+        import pandas as pd
+        times = pd.to_datetime(src.ds.time.values)
+        timestamps = np.asarray(
+            [int(t.strftime("%Y%m%d%H")) for t in times], np.int64)
+        fields = None  # streamed below
+
+    lats = []
+    n = len(timestamps)
+    for s in range(0, n, args.batch_size):
+        ts_chunk = timestamps[s:s + args.batch_size]
+        if fields is not None:
+            batch = fields[s:s + args.batch_size]
+        else:
+            batch = src.frames_at(ts_chunk)
+        lats.append(np.asarray(encode(jnp.asarray(batch, jnp.float32))))
+        print(f"encoded {min(s + args.batch_size, n)}/{n}", flush=True)
+    latents = np.concatenate(lats)  # (time, 15, 30, 84)
+
+    if args.output.endswith(".npz"):
+        np.savez(args.output, latents=latents, timestamps=timestamps)
+    else:
+        import pandas as pd
+        import xarray as xr
+        da = xr.DataArray(
+            np.moveaxis(latents, -1, 1),  # reference layout (time, C, H, W)
+            dims=("time", "C", "H", "W"),
+            coords={"time": pd.to_datetime([str(t) for t in timestamps],
+                                           format="%Y%m%d%H")},
+            name="latents")
+        da.to_dataset().to_zarr(args.output, mode="w")
+    print(f"wrote {args.output}: {latents.shape}")
+
+
+if __name__ == "__main__":
+    main()

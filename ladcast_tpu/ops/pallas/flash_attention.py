@@ -6,8 +6,9 @@ joint attention: <= ~2.3k tokens, head_dim 128. Online-softmax tiling keeps
 the (S x S) logit matrix out of HBM; per grid step the kernel holds one
 query block and streams key/value blocks through VMEM.
 
-Layout: q, k, v are BSHD. Sequence lengths are padded to the block size
-with masked logits (query padding rows are discarded by the caller slice).
+The caller-facing layout is BSHD; internally (batch, heads) fold into one
+leading grid dimension so block shapes satisfy the Mosaic (8, 128)
+trailing-dims tiling rule.
 
 The backward pass delegates to the XLA attention VJP (training uses the
 XLA path anyway; this keeps autodiff correct if a trainer is configured
@@ -28,8 +29,8 @@ _NEG_INF = -1e30
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_true: int,
                block_k: int):
-    # q_ref: (1, Bq, 1, D); k_ref/v_ref: (1, S_pad, 1, D); o_ref like q_ref
-    q = q_ref[0, :, 0, :].astype(jnp.float32) * scale     # (Bq, D)
+    # q_ref: (1, Bq, D); k_ref/v_ref: (1, S_pad, D); o_ref like q_ref
+    q = q_ref[0].astype(jnp.float32) * scale                  # (Bq, D)
     bq, d = q.shape
     s_pad = k_ref.shape[1]
     num_kb = s_pad // block_k
@@ -40,8 +41,8 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_true: int,
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # (Bq, Bk)
@@ -59,47 +60,54 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_true: int,
         return m_new, l_new, acc_new
 
     _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0, :, 0, :] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _pad_seq(x, s_pad):
     pad = s_pad - x.shape[1]
     if pad == 0:
         return x
-    return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
-def _flash_attention_impl(q, k, v, block_q: int = 128, block_k: int = 256):
+def _flash_attention_impl(q, k, v, block_q: int = 256, block_k: int = 512):
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     scale = 1.0 / (D ** 0.5)
-    sq_pad = -(-Sq // block_q) * block_q
+
+    def fold(x):  # BSHD -> (B*H, S, D)
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+
+    block_q = min(block_q, -(-Sq // 128) * 128)
     block_k = min(block_k, -(-Sk // 128) * 128)
+    sq_pad = -(-Sq // block_q) * block_q
     sk_pad = -(-Sk // block_k) * block_k
 
-    qp = _pad_seq(q, sq_pad)
-    kp = _pad_seq(k, sk_pad)
-    vp = _pad_seq(v, sk_pad)
+    qf = _pad_seq(qf, sq_pad)
+    kf = _pad_seq(kf, sk_pad)
+    vf = _pad_seq(vf, sk_pad)
 
-    grid = (B, H, sq_pad // block_q)
+    grid = (B * H, sq_pad // block_q)
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, s_true=Sk,
                           block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((B, sq_pad, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, D), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, D), lambda b, h, i: (b, i, h, 0),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, 1, D), lambda b, h, i: (b, 0, h, 0),
+            pl.BlockSpec((1, sk_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, 1, D), lambda b, h, i: (b, 0, h, 0),
+            pl.BlockSpec((1, sk_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, D),
-                               lambda b, h, i: (b, i, h, 0),
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-    )(qp, kp, vp)
-    return out[:, :Sq]
+    )(qf, kf, vf)
+    out = out[:, :Sq]  # (B*H, Sq, D)
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
 
 def _xla_attention(q, k, v):

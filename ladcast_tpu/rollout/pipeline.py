@@ -5,17 +5,19 @@ TPU-native replacement for the reference's host-orchestrated
 ``roll_out_serial`` + ``AutoRegressive2DPipeline`` + ``decode_latent_ens``
 stack (pipelines/utils.py:250-742): here each stage is a jitted function
 and the hot path (the AR ensemble rollout) is a single compiled program.
+
+Model parameters are EXPLICIT arguments of every jitted stage: large
+arrays captured as closure constants get serialized into the lowered
+module and make (remote) compilation pathologically slow. Only small
+normalization constants are closed over.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ladcast_tpu import static_data
 from ladcast_tpu.config import (
@@ -30,6 +32,14 @@ from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
 from ladcast_tpu.rollout.engine import ensemble_rollout
 
 
+def cast_pytree(tree, dtype):
+    """Jitted whole-tree dtype cast (one compile instead of one eager
+    convert per leaf -- each eager convert costs a round trip on remote
+    backends)."""
+    return jax.jit(lambda t: jax.tree.map(
+        lambda x: x.astype(dtype), t))(tree)
+
+
 @dataclass
 class ForecastPipeline:
     """Bundles model defs + params + normalization constants.
@@ -37,6 +47,10 @@ class ForecastPipeline:
     All public methods take/return channels-last arrays. Latent
     normalization uses the bundled 84-vector stats with target_std = EDM
     sigma_data (train_AR.py:498-500, pred_rollout.py:222-225).
+
+    ``compute_dtype``: activation/param dtype for the network forward
+    passes (bfloat16 on TPU by default); the EDM trajectory math stays in
+    ``rollout_cfg.trajectory_dtype`` (fp32).
     """
 
     dit_cfg: LaDCastDiTConfig
@@ -45,6 +59,7 @@ class ForecastPipeline:
     rollout_cfg: RolloutConfig
     dit_params: dict
     dcae_params: dict
+    compute_dtype: str = "bfloat16"
 
     def __post_init__(self):
         self.dit = LaDCastTransformer3D(self.dit_cfg)
@@ -57,6 +72,59 @@ class ForecastPipeline:
         self.field_std = jnp.asarray(fs)
         self.static_cond = jnp.asarray(
             static_data.static_conditioning_tensor(layout="HWC"))
+        cdt = jnp.dtype(self.compute_dtype)
+        if cdt != jnp.float32:
+            self.dit_params = cast_pytree(self.dit_params, cdt)
+            self.dcae_params = cast_pytree(self.dcae_params, cdt)
+        self._cdt = cdt
+        self._build_jits()
+
+    def _build_jits(self):
+        dit, dcae = self.dit, self.dcae
+        sched_cfg, rcfg = self.sched_cfg, self.rollout_cfg
+        static_cond = self.static_cond
+        latent_std = self.latent_std
+        cdt = self._cdt
+
+        def encode(dcae_params, fields):
+            z = dcae.apply(dcae_params, fields.astype(cdt),
+                           static_cond.astype(cdt),
+                           method=AutoencoderDC.encode)
+            return z.astype(jnp.float32)
+
+        def decode_chunked(dcae_params, z_phys, chunk):
+            n, h, w, C = z_phys.shape
+            pad = (-n) % chunk
+            if pad:
+                z_phys = jnp.concatenate(
+                    [z_phys, jnp.zeros((pad, h, w, C), z_phys.dtype)])
+            zc = z_phys.reshape(-1, chunk, h, w, C)
+            dec = jax.lax.map(
+                lambda z: dcae.apply(dcae_params, z.astype(cdt),
+                                     method=AutoencoderDC.decode), zc)
+            dec = dec.reshape(-1, *dec.shape[2:])[:n]
+            return dec.astype(jnp.float32)
+
+        def decode_latents(dcae_params, latents_norm, chunk):
+            E, T = latents_norm.shape[:2]
+            z = self.unnormalize_latent(latents_norm)
+            dec = decode_chunked(dcae_params, z.reshape(E * T, *z.shape[2:]),
+                                 chunk)
+            return dec.reshape(E, T, *dec.shape[1:])
+
+        def forecast(dit_params, known_latents_norm, year_progress, key):
+            def net_fn(latents, c_noise, cond, yp):
+                out = dit.apply(dit_params, latents.astype(cdt), c_noise,
+                                cond.astype(cdt), yp)
+                return out.astype(jnp.float32)
+
+            return ensemble_rollout(
+                net_fn, known_latents_norm, year_progress, key,
+                sched_cfg, rcfg, latent_std=latent_std)
+
+        self._encode_jit = jax.jit(encode)
+        self._decode_jit = jax.jit(decode_latents, static_argnums=2)
+        self._forecast_jit = jax.jit(forecast)
 
     # -- latent-space helpers ------------------------------------------------
 
@@ -69,46 +137,27 @@ class ForecastPipeline:
             z, self.latent_mean, self.latent_std,
             self.rollout_cfg.latent_target_std)
 
-    # -- stages ---------------------------------------------------------------
+    # -- stages ----------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
     def encode_fields(self, fields):
         """(B, H, W, 84) normalized fields -> (B, 15, 30, 84) physical
         latents (static channels concatenated inside, DCAE.py:988-989)."""
-        return self.dcae.apply(self.dcae_params, fields, self.static_cond,
-                               method=AutoencoderDC.encode)
+        return self._encode_jit(self.dcae_params, fields)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def decode_latents(self, latents_norm, chunk: int = 40):
         """(E, T, 15, 30, 84) normalized latents -> (E, T, H, W, 84)
         normalized fields; frames batched through the decoder in chunks to
         bound decoder activation memory (the reference decodes member-by-
-        member on host loop, pipelines/utils.py:209-229)."""
-        E, T, h, w, C = latents_norm.shape
-        z = self.unnormalize_latent(latents_norm).reshape(E * T, h, w, C)
-        n = E * T
-        pad = (-n) % chunk
-        if pad:
-            z = jnp.concatenate([z, jnp.zeros((pad, h, w, C), z.dtype)])
-        z = z.reshape(-1, chunk, h, w, C)
-        dec = jax.lax.map(
-            lambda zc: self.dcae.apply(self.dcae_params, zc,
-                                       method=AutoencoderDC.decode), z)
-        dec = dec.reshape(-1, *dec.shape[2:])[:n]
-        return dec.reshape(E, T, *dec.shape[1:])
+        member in a host loop, pipelines/utils.py:209-229)."""
+        return self._decode_jit(self.dcae_params, latents_norm, chunk)
 
-    def _net_fn(self, latents, c_noise, cond, yp):
-        return self.dit.apply(self.dit_params, latents, c_noise, cond, yp)
-
-    @functools.partial(jax.jit, static_argnums=0)
     def forecast_latents(self, known_latents_norm, year_progress, key):
         """(E, T_in, 15, 30, 84) normalized conditioning latents ->
         (E, total_steps, 15, 30, 84) normalized forecast latents."""
-        return ensemble_rollout(
-            self._net_fn, known_latents_norm, year_progress, key,
-            self.sched_cfg, self.rollout_cfg, latent_std=self.latent_std)
+        return self._forecast_jit(self.dit_params, known_latents_norm,
+                                  year_progress, key)
 
-    # -- convenience ----------------------------------------------------------
+    # -- convenience -------------------------------------------------------------
 
     def forecast_from_fields(self, fields, init_ts_int: int, key,
                              decode: bool = True):
