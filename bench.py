@@ -3,8 +3,13 @@
 20-member, 240h (40 x 6h) autoregressive ensemble rollout of the 375M
 LaDCast DiT at 20 Heun denoise steps per 4-frame chunk -- 10 AR steps x 39
 denoiser calls x 20 members = 7,800 member-forward passes -- plus the
-initial DCAE encode and all 800 frame decodes, entirely on-device
-(network in bfloat16, EDM trajectory in fp32).
+initial DCAE encode and all 800 frame decodes, on-device (network in
+bfloat16 with the Pallas flash-attention kernel, EDM trajectory in fp32).
+
+The AR loop is host-stepped (one jitted repetition per dispatch): same
+math/PRNG as the fully-scanned engine, but individual device executions
+stay ~10 s, which is robust on remote-attached single chips. Each stage
+is synced by fetching a scalar, so timings are honest.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
@@ -24,8 +29,6 @@ import numpy as np
 
 
 def main():
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from ladcast_tpu.config import (
         DCAEConfig,
         EDMSchedulerConfig,
@@ -34,18 +37,19 @@ def main():
     )
     from ladcast_tpu.models.dcae import AutoencoderDC
     from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
-    from ladcast_tpu.parallel.mesh import make_mesh
-    from ladcast_tpu.rollout.pipeline import ForecastPipeline
+    from ladcast_tpu.rollout.engine import (
+        ensemble_rollout_hostloop,
+        make_repetition_fn,
+    )
+    from ladcast_tpu.rollout.pipeline import cast_pytree
 
-    devices = jax.devices()
-    n_chips = len(devices)
+    n_chips = len(jax.devices())
+    cdt = jnp.bfloat16
 
     dit_cfg = ladcast_375m_config()
     dcae_cfg = DCAEConfig()
     sched_cfg = EDMSchedulerConfig()
-    # Pad 20 members to a multiple of the chip count for even sharding.
-    ens_target = 20
-    ens = -(-ens_target // n_chips) * n_chips
+    ens = -(-20 // n_chips) * n_chips  # pad to chip multiple
     rcfg = RolloutConfig(ensemble_size=ens)
 
     dit = LaDCastTransformer3D(dit_cfg)
@@ -53,40 +57,50 @@ def main():
 
     T_in, H, W, C = rcfg.input_seq_len, 15, 30, 84
     GH, GW = 120, 240
+    fields = jax.random.normal(jax.random.PRNGKey(0), (T_in, GH, GW, C))
+    static = jax.random.normal(jax.random.PRNGKey(1), (GH, GW, 5))
 
-    fields = jax.random.normal(jax.random.PRNGKey(0), (T_in, GH, GW, C),
-                               jnp.float32)
-    static = jax.random.normal(jax.random.PRNGKey(1), (GH, GW, 5),
-                               jnp.float32)
-
-    dcae_params = jax.jit(dcae.init)(jax.random.PRNGKey(2),
-                                     fields, static)
-    dit_params = jax.jit(dit.init)(
+    dcae_params = cast_pytree(
+        jax.jit(dcae.init)(jax.random.PRNGKey(2), fields, static), cdt)
+    dit_params = cast_pytree(jax.jit(dit.init)(
         jax.random.PRNGKey(3),
         jnp.zeros((1, rcfg.return_seq_len, H, W, C)), jnp.zeros((1,)),
-        jnp.zeros((1, T_in, H, W, C)), jnp.zeros((1,)))
+        jnp.zeros((1, T_in, H, W, C)), jnp.zeros((1,))), cdt)
 
-    pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
-                            dit_params, dcae_params)
+    @jax.jit
+    def encode(p, f, s):
+        z = dcae.apply(p, f.astype(cdt), s.astype(cdt),
+                       method=AutoencoderDC.encode)
+        return z.astype(jnp.float32)
 
-    mesh = make_mesh("ens")
-    ens_sh = NamedSharding(mesh, P("ens"))
+    def net_fn(p, lat, cn, cond, yp):
+        out = dit.apply(p, lat.astype(cdt), cn, cond.astype(cdt), yp)
+        return out.astype(jnp.float32)
 
-    year_progress = jnp.linspace(0.4, 0.45, rcfg.num_repetitions)
+    rep_fn = jax.jit(make_repetition_fn(sched_cfg, rcfg),
+                     static_argnums=0)
+
+    @jax.jit
+    def decode_chunk(p, z):  # (E, h, w, C) one lead time for all members
+        return dcae.apply(p, z.astype(cdt),
+                          method=AutoencoderDC.decode).astype(jnp.float32)
+
+    year_progress = np.linspace(0.4, 0.45, rcfg.num_repetitions)
 
     def full_forecast(key):
-        z = pipe.encode_fields(fields)
-        z = pipe.normalize_latent(z)
-        known = jnp.broadcast_to(z[None], (ens, *z.shape))
-        if n_chips > 1:
-            known = jax.device_put(known, ens_sh)
-        traj = pipe.forecast_latents(known, year_progress, key)
-        decoded = pipe.decode_latents(traj)
-        # tiny device->host summary only
-        return float(jnp.mean(traj)), float(jnp.mean(decoded[:, -1]))
+        z = encode(dcae_params, fields, static)
+        known = jnp.broadcast_to(z[None], (ens, T_in, H, W, C))
+        traj = ensemble_rollout_hostloop(
+            lambda p, k, yp, kk: rep_fn(net_fn, p, k, yp, kk),
+            dit_params, known, year_progress, key, rcfg)
+        acc = 0.0
+        for t in range(traj.shape[1]):
+            dec = decode_chunk(dcae_params, traj[:, t])
+            acc = acc + dec.mean()
+        # scalar fetch == hard sync; keeps D2H tiny
+        return float(acc), float(traj.mean())
 
-    # Compile (excluded), then measure.
-    full_forecast(jax.random.PRNGKey(4))
+    full_forecast(jax.random.PRNGKey(4))  # compile (excluded)
 
     times = []
     for i in range(2):

@@ -1,0 +1,150 @@
+"""Monthly-tar ERA5 archive reading and streaming.
+
+Equivalent of the reference webdataset path (dataloader/weather_dataset.py
+read_tar_files:232-318 and the HF GeneratorBasedBuilder WeatherDataset):
+monthly ``YYYY_MM.tar`` archives of per-hour ``YYYY-MM-DDTHH.npy`` arrays
+(channels-first (C, 121, 240), 91 channels incl. surface_pressure in the
+reference layout).
+
+Provides:
+  * :func:`read_tar_range` -- the random-access reader
+  * :class:`TarFieldSource` -- field-source protocol (frames_at) over a
+    tar directory, for the trainers/eval CLIs
+  * :func:`preprocess_batch` -- south-pole crop, surface-pressure drop,
+    normalize, SST NaN masking (weather_dataset.py:203-224)
+  * :func:`write_tar_archive` -- the xr2webdataset-equivalent writer
+    (preprocecss/xr2webdataset.py:14-133) from any field source
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from datetime import datetime, timedelta
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ladcast_tpu.data import time_utils
+
+
+def _member_name(dt: datetime) -> str:
+    return dt.strftime("%Y-%m-%dT%H") + ".npy"
+
+
+def _tar_name(dt: datetime) -> str:
+    return f"{dt.year}_{dt.month:02d}.tar"
+
+
+def read_tar_range(
+    tar_dir: str,
+    start_ts: int,
+    end_ts: int,
+    dh: int = 1,
+) -> Tuple[np.ndarray, list]:
+    """Read hourly frames [start_ts, end_ts] (YYYYMMDDHH ints) from the
+    monthly tars. Returns (array (N, ...), list of ts ints)."""
+    start = time_utils.int_to_datetime(start_ts)
+    end = time_utils.int_to_datetime(end_ts)
+    dts = []
+    cur = start
+    while cur <= end:
+        dts.append(cur)
+        cur += timedelta(hours=dh)
+
+    frames = []
+    open_tars: Dict[str, tarfile.TarFile] = {}
+    try:
+        for dt in dts:
+            tname = _tar_name(dt)
+            if tname not in open_tars:
+                path = os.path.join(tar_dir, tname)
+                open_tars[tname] = tarfile.open(path, "r")
+            member = open_tars[tname].extractfile(_member_name(dt))
+            frames.append(np.load(io.BytesIO(member.read())))
+    finally:
+        for t in open_tars.values():
+            t.close()
+    return np.stack(frames), [time_utils.datetime_to_int(d) for d in dts]
+
+
+class TarFieldSource:
+    """frames_at over a directory of monthly tars. Frames are converted to
+    channels-last (lat, lon, C) and optionally cropped/trimmed to the
+    84-channel convention."""
+
+    def __init__(self, tar_dir: str, crop_south_pole: bool = True,
+                 drop_last_channel: bool = True):
+        self.tar_dir = tar_dir
+        self.crop_south_pole = crop_south_pole
+        self.drop_last_channel = drop_last_channel
+        self._cache: Dict[str, tarfile.TarFile] = {}
+
+    def frames_at(self, ts_ints: Sequence[int]) -> np.ndarray:
+        out = []
+        for ts in ts_ints:
+            dt = time_utils.int_to_datetime(int(ts))
+            tname = _tar_name(dt)
+            if tname not in self._cache:
+                self._cache[tname] = tarfile.open(
+                    os.path.join(self.tar_dir, tname), "r")
+            member = self._cache[tname].extractfile(_member_name(dt))
+            arr = np.load(io.BytesIO(member.read()))  # (C, lat, lon)
+            if self.drop_last_channel:
+                arr = arr[:-1]  # surface_pressure (weather_dataset.py:213)
+            if self.crop_south_pole:
+                arr = arr[:, 1:, :]
+            out.append(np.moveaxis(arr, 0, -1))
+        return np.asarray(out, np.float32)
+
+    def close(self):
+        for t in self._cache.values():
+            t.close()
+        self._cache.clear()
+
+
+def preprocess_batch(
+    batch: np.ndarray,           # (B, lat, lon, C) raw physical fields
+    mean: np.ndarray,
+    std: np.ndarray,
+    sst_channel: Optional[int] = None,
+    mask_value: float = -2.0,
+):
+    """Normalize + SST NaN->mask (weather_dataset.py:203-224; crop/drop
+    handled by the source). Returns (batch, nan_mask or None)."""
+    batch = (batch - mean) / std
+    if sst_channel is None:
+        return batch, None
+    nan_mask = np.isnan(batch[..., sst_channel])
+    batch = np.where(np.isnan(batch), mask_value, batch)
+    return batch.astype(np.float32), nan_mask
+
+
+def write_tar_archive(
+    source,
+    timestamps: Sequence[int],
+    tar_dir: str,
+) -> None:
+    """Write per-hour .npy members into monthly tars
+    (preprocecss/xr2webdataset.py semantics; frames stored channels-first
+    like the reference so archives interoperate)."""
+    os.makedirs(tar_dir, exist_ok=True)
+    open_writers: Dict[str, tarfile.TarFile] = {}
+    try:
+        for ts in timestamps:
+            dt = time_utils.int_to_datetime(int(ts))
+            tname = _tar_name(dt)
+            if tname not in open_writers:
+                open_writers[tname] = tarfile.open(
+                    os.path.join(tar_dir, tname), "a")
+            frame = source.frames_at([ts])[0]  # (lat, lon, C)
+            buf = io.BytesIO()
+            np.save(buf, np.moveaxis(frame, -1, 0).astype(np.float32))
+            data = buf.getvalue()
+            info = tarfile.TarInfo(_member_name(dt))
+            info.size = len(data)
+            open_writers[tname].addfile(info, io.BytesIO(data))
+    finally:
+        for t in open_writers.values():
+            t.close()

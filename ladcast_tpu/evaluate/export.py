@@ -1,0 +1,97 @@
+"""Export decoded forecasts to georeferenced xarray Datasets / zarr.
+
+Equivalent of the reference ``latent_ens_to_xarr`` / zarr-append path
+(pipelines/utils.py:83-246, evaluate/pred_rollout.py:497-506): unpack the
+84-channel stack into named variables with
+(idx, time, prediction_timedelta, [level,] latitude, longitude) coords.
+
+xarray is an optional dependency; in its absence use
+:func:`decoded_to_npz` which stores the same content as arrays + JSON
+coordinate metadata.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ladcast_tpu import channels as ch
+from ladcast_tpu.data import time_utils
+
+
+def grid_coords(num_steps: int, step_size_hour: int = 6):
+    return {
+        "prediction_timedelta_hours": [step_size_hour * i
+                                       for i in range(num_steps)],
+        "level": list(ch.PRESSURE_LEVELS),
+        "latitude": np.arange(ch.LAT_START_DEG, ch.LAT_END_DEG + 1e-6,
+                              ch.INTERVAL_DEG).tolist(),
+        "longitude": np.arange(ch.LON_START_DEG, ch.LON_END_DEG + 1e-6,
+                               ch.INTERVAL_DEG).tolist(),
+    }
+
+
+def decoded_to_dataset(
+    decoded: np.ndarray,          # (ens, T, lat, lon, 84) physical fields
+    init_ts_int: int,
+    step_size_hour: int = 6,
+    extract_variables: Optional[Sequence[str]] = None,
+):
+    """Pack a decoded ensemble into an xr.Dataset (requires xarray)."""
+    import pandas as pd
+    import xarray as xr
+
+    E, T = decoded.shape[:2]
+    co = grid_coords(T, step_size_hour)
+    coords = {
+        "idx": np.arange(E),
+        "time": [pd.to_datetime(str(init_ts_int), format="%Y%m%d%H")],
+        "prediction_timedelta": [pd.Timedelta(hours=h)
+                                 for h in co["prediction_timedelta_hours"]],
+        "level": co["level"],
+        "latitude": co["latitude"],
+        "longitude": co["longitude"],
+    }
+    ds = xr.Dataset(coords=coords)
+    names = extract_variables or (list(ch.ATM_VARIABLES)
+                                  + list(ch.SURFACE_VARIABLES))
+    sl = ch.channel_slices()
+    for var in names:
+        block = decoded[..., sl[var]]  # (E, T, lat, lon, n)
+        if var in ch.ATM_VARIABLES:
+            data = np.moveaxis(block, -1, 2)[:, None]  # (E,1,T,lev,lat,lon)
+            dims = ("idx", "time", "prediction_timedelta", "level",
+                    "latitude", "longitude")
+        else:
+            data = block[..., 0][:, None]
+            dims = ("idx", "time", "prediction_timedelta", "latitude",
+                    "longitude")
+        ds[var] = xr.DataArray(data.astype(np.float32), dims=dims)
+    return ds
+
+
+def append_to_zarr(ds, path: str, append_dim: str = "time") -> None:
+    """Create-or-append (pred_rollout.py:497-506 behavior)."""
+    import os
+    if os.path.exists(path):
+        ds.to_zarr(path, mode="a", append_dim=append_dim)
+    else:
+        ds.to_zarr(path, mode="w")
+
+
+def decoded_to_npz(
+    decoded: np.ndarray,
+    init_ts_int: int,
+    path: str,
+    step_size_hour: int = 6,
+) -> None:
+    """xarray-free export: arrays + JSON coordinate metadata."""
+    T = decoded.shape[1]
+    meta = grid_coords(T, step_size_hour)
+    meta["init_time"] = init_ts_int
+    meta["variables"] = list(ch.ATM_VARIABLES) + list(ch.SURFACE_VARIABLES)
+    meta["channel_names"] = ch.channel_names()
+    np.savez_compressed(path, fields=decoded.astype(np.float32),
+                        meta=json.dumps(meta))

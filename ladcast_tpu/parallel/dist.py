@@ -1,0 +1,74 @@
+"""Multi-host distributed helpers.
+
+Replaces the reference's host-side collective plumbing (SURVEY.md
+section 2.2): accelerate ``gather``/``gather_for_metrics`` for metrics and
+object lists (train_AR.py:899-906, pred_rollout.py:398-414),
+``torch_gather`` (models/utils.py:126-152), ``wait_for_everyone`` barriers,
+and per-process RNG decorrelation (train_AR.py:627-629).
+
+On TPU pods, initialize with :func:`initialize` (jax.distributed over
+DCN); all helpers degrade to no-ops in single-process mode, which is the
+local test mode -- the same graceful degradation contract the reference
+has via ``torch.distributed.is_initialized()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with env-var fallback; safe to call in
+    single-process mode (no-op)."""
+    if num_processes in (None, 1) and coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def fold_process_key(key: jax.Array) -> jax.Array:
+    """Per-process RNG decorrelation: fold the process index into the key
+    (the reference seeds generators with seed + process_index)."""
+    return jax.random.fold_in(key, jax.process_index())
+
+
+def all_gather_arrays(x: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Host-side all-gather of per-process numpy arrays (the reference's
+    accelerator.gather of metric tensors). Single-process: identity."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    # process_allgather stacks on a new leading axis
+    if axis == 0:
+        return gathered.reshape(-1, *gathered.shape[2:])
+    return np.moveaxis(gathered, 0, axis)
+
+
+def shard_list(items: List[Any]) -> List[Any]:
+    """Strided split of host-side work items across processes (the
+    reference's accelerate.split_between_processes; strided assignment
+    avoids the padded-duplicate cleanup at pred_rollout.py:409-414)."""
+    return list(items[jax.process_index()::jax.process_count()])
+
+
+def barrier(name: str = "barrier") -> None:
+    """wait_for_everyone equivalent."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)

@@ -126,3 +126,76 @@ def make_rollout_fn(net_fn: NetFn, sched_cfg: EDMSchedulerConfig,
     function ready for jit/pjit."""
     return partial(ensemble_rollout, net_fn,
                    sched_cfg=sched_cfg, cfg=cfg)
+
+
+def make_repetition_fn(sched_cfg: EDMSchedulerConfig, cfg: RolloutConfig):
+    """One AR repetition as a standalone jittable function:
+
+      rep_fn(net_fn, params, known, year_progress_scalar, key)
+        -> (new_known, samples)
+
+    Used by the host-stepped rollout: instead of one monolithic
+    240h program, the host dispatches ``num_repetitions`` medium-sized
+    executions (same math, same PRNG streams as the scanned version when
+    given the same per-repetition keys). Keeps individual device
+    executions short -- friendlier to remote-attached TPUs and to
+    progress reporting -- at ~zero dispatch overhead relative to the
+    multi-second repetition compute.
+    """
+
+    def rep_fn(net_fn, params, known, yp, rep_key):
+        E, T_in, H, W, C = known.shape
+        T_out = cfg.return_seq_len
+        traj_dtype = jnp.dtype(cfg.trajectory_dtype)
+        noise = member_noise(rep_key, E, (T_out, H, W, C), traj_dtype)
+        yp_b = jnp.broadcast_to(yp, (E,))
+
+        def denoised_fn(x, sigma):
+            x_in = edm.precondition_inputs(sched_cfg, x, sigma)
+            c_noise = jnp.broadcast_to(edm.precondition_noise(sigma), (E,))
+            f = net_fn(params, x_in.astype(jnp.float32),
+                       c_noise.astype(jnp.float32), known, yp_b)
+            return edm.precondition_outputs(sched_cfg, x,
+                                            f.astype(x.dtype), sigma)
+
+        if cfg.sampler_type == "edm":
+            samples = edm_heun_sample(sched_cfg, denoised_fn, noise,
+                                      cfg.num_inference_steps,
+                                      dtype=traj_dtype)
+        else:
+            samples = dpm_multistep_sample(sched_cfg, denoised_fn, noise,
+                                           cfg.num_inference_steps,
+                                           dtype=traj_dtype)
+        samples = samples.astype(known.dtype)
+        return samples[:, -T_in:], samples
+
+    return rep_fn
+
+
+def ensemble_rollout_hostloop(
+    rep_fn_jitted,
+    net_params,
+    known_latents: jnp.ndarray,
+    year_progress,
+    key: jax.Array,
+    cfg: RolloutConfig,
+):
+    """Host-stepped AR rollout driving a jitted repetition function.
+
+    PRNG contract matches :func:`ensemble_rollout`: per-repetition keys
+    come from one split of ``key`` (after the perturbation split), so the
+    scanned and host-stepped rollouts produce identical ensembles given
+    identical inputs (noise_level=0 path).
+    """
+    n_reps = cfg.num_repetitions
+    key, _pert = jax.random.split(key)
+    rep_keys = jax.random.split(key, n_reps)
+    outs = []
+    known = known_latents
+    for r in range(n_reps):
+        known, samples = rep_fn_jitted(net_params, known,
+                                       jnp.asarray(year_progress[r]),
+                                       rep_keys[r])
+        outs.append(samples)
+    traj = jnp.concatenate(outs, axis=1)
+    return traj[:, : cfg.total_num_steps]

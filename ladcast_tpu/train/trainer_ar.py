@@ -52,6 +52,7 @@ class TrainState(NamedTuple):
 class ARTrainConfig:
     num_push_forward_steps: int = 1
     lat_weighted_loss: bool = False
+    snr_gamma: Optional[float] = None  # min-SNR-gamma (train_AR.py:1034-1064)
     use_ema: bool = True
     ema_max_decay: float = 0.9999
     ema_power: float = 2.0 / 3.0
@@ -125,11 +126,19 @@ def make_ar_train_step(
 
         model_pred = edm.precondition_outputs(sched_cfg, noisy, model_pred,
                                               sigma)
-        weighting = edm.edm_loss_weighting(sched_cfg, sigma)
         sq = (model_pred - clean.astype(jnp.float32)) ** 2
-        if lat_w is not None:
-            sq = lat_w * sq
-        loss = jnp.mean(weighting * sq)
+        if tcfg.snr_gamma is None:
+            weighting = edm.edm_loss_weighting(sched_cfg, sigma)
+            if lat_w is not None:
+                sq = lat_w * sq
+            loss = jnp.mean(weighting * sq)
+        else:
+            # min-SNR-gamma (train_AR.py:1034-1064; arXiv 2303.09556):
+            # per-example weight min(SNR, gamma)/SNR on the unweighted MSE.
+            snr = (sched_cfg.sigma_data / sigma.reshape(B)) ** 2
+            w = jnp.minimum(snr, tcfg.snr_gamma) / snr
+            per_ex = sq.reshape(B, -1).mean(axis=1)
+            loss = jnp.mean(per_ex * w)
         aux = {"loss": loss, "mean_sigma_index": indices.mean()}
         return loss, aux
 
