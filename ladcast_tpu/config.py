@@ -54,6 +54,11 @@ class DCAEConfig:
     scaling_factor: float = 1.0
     static_channels: int = 5
     temb_channels: Optional[int] = None
+    # v2 options (reference DCAE_new.py:798-800): configurable encoder
+    # output / decoder input shortcuts and decoder output activation.
+    encoder_out_shortcut: bool = True
+    decoder_in_shortcut: bool = True
+    decoder_conv_act_fn: str = "relu"
 
     def __post_init__(self):
         object.__setattr__(self, "encoder_block_types", _tup(self.encoder_block_types))
@@ -140,6 +145,19 @@ class LaDCastDiTConfig:
 def ladcast_375m_config(**overrides) -> LaDCastDiTConfig:
     """configs/ladcast_375M.yaml:2-31."""
     return LaDCastDiTConfig(**overrides)
+
+
+def dcae_ray_1024_config(**overrides) -> DCAEConfig:
+    """The Ray trainer's scaled-up DCAE (configs/DC_AE_ray_1024.yaml):
+    widths (512, 1024, 1024, 2048), 1024 latent channels, 90 input
+    channels (+geopotential_at_surface), 6 static channels."""
+    base = dict(
+        in_channels=90, out_channels=90, latent_channels=1024,
+        encoder_block_out_channels=(512, 1024, 1024, 2048),
+        decoder_block_out_channels=(512, 1024, 1024, 2048),
+        static_channels=6)
+    base.update(overrides)
+    return DCAEConfig(**base)
 
 
 def ladcast_1p6b_config(**overrides) -> LaDCastDiTConfig:

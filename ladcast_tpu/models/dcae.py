@@ -287,6 +287,8 @@ class Encoder(nn.Module):
                 idx += 1
 
         z = SphereConv(cfg.latent_channels, name="conv_out")(h)
+        if not cfg.encoder_out_shortcut:  # v2 option (DCAE_new.py:798)
+            return z
         # out_shortcut: grouped channel average (DCAE.py:624-627)
         group = widths[-1] // cfg.latent_channels
         y = h.reshape(*h.shape[:-1], cfg.latent_channels, group).mean(-1)
@@ -306,8 +308,9 @@ class Decoder(nn.Module):
         assert cfg.decoder_layers_per_block[0] > 0
 
         h = SphereConv(widths[-1], name="conv_in")(z)
-        repeats = widths[-1] // cfg.latent_channels
-        h = h + jnp.repeat(z, repeats, axis=-1)  # in_shortcut
+        if cfg.decoder_in_shortcut:  # v2 option (DCAE_new.py:799)
+            repeats = widths[-1] // cfg.latent_channels
+            h = h + jnp.repeat(z, repeats, axis=-1)  # in_shortcut
 
         idx = 0
         for i in reversed(range(n_stages)):
@@ -324,7 +327,11 @@ class Decoder(nn.Module):
                 idx += 1
 
         h = RMSNormLayer(eps=1e-7, name="norm_out")(h)
-        h = nn.relu(h)
+        # v2 option decoder_conv_act_fn (DCAE_new.py:677, default relu)
+        act = {"relu": nn.relu, "silu": nn.silu, "relu6": nn.relu6,
+               "gelu": nn.gelu, "identity": lambda x: x}[
+            cfg.decoder_conv_act_fn]
+        h = act(h)
         return SphereConv(cfg.out_channels, name="conv_out")(h)
 
 

@@ -36,7 +36,6 @@ from ladcast_tpu.config import (
 )
 from ladcast_tpu.diffusion import edm
 from ladcast_tpu.diffusion.noise_sampler import sample_sigma_indices
-from ladcast_tpu.metrics.weights import latent_lat_weights
 from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
 from ladcast_tpu.train import ema as ema_lib
 
@@ -82,10 +81,14 @@ def make_ar_train_step(
     train_sig = edm.train_sigmas(sched_cfg)
     c_dtype = jnp.dtype(tcfg.compute_dtype)
 
-    lat_w = None
-    if tcfg.lat_weighted_loss:
-        lat_w = jnp.asarray(latent_lat_weights(), jnp.float32)
-        lat_w = lat_w.reshape(1, 1, -1, 1, 1)  # (1, T, H, W, C) broadcast
+    def _lat_w(height: int):
+        # cos-lat weights over latent patch-center latitudes; equals the
+        # reference's fixed 15-row table (train_AR.py:858-865) at H=15 and
+        # generalizes to other latent grids.
+        import numpy as _np
+        from ladcast_tpu.metrics.weights import cos_lat_weights
+        w = cos_lat_weights(_np.linspace(-83.25, 84.75, height))
+        return jnp.asarray(w, jnp.float32).reshape(1, 1, -1, 1, 1)
 
     def apply_model(params, x_in, c_noise, cond, yp):
         fn = model.apply
@@ -129,8 +132,8 @@ def make_ar_train_step(
         sq = (model_pred - clean.astype(jnp.float32)) ** 2
         if tcfg.snr_gamma is None:
             weighting = edm.edm_loss_weighting(sched_cfg, sigma)
-            if lat_w is not None:
-                sq = lat_w * sq
+            if tcfg.lat_weighted_loss:
+                sq = _lat_w(clean.shape[2]) * sq
             loss = jnp.mean(weighting * sq)
         else:
             # min-SNR-gamma (train_AR.py:1034-1064; arXiv 2303.09556):
