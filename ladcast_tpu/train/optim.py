@@ -34,6 +34,35 @@ def cosine_with_min_lr(base_lr: float, min_lr: float, num_warmup_steps: int,
     return schedule
 
 
+def polynomial_with_min_lr(base_lr: float, min_lr: float,
+                           num_warmup_steps: int, num_training_steps: int,
+                           power: float = 1.0):
+    """Polynomial decay to lr_end with linear warmup (the reference's
+    'polynomial' branch, models/utils.py:72-81)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+        warm = base_lr * step / max(1, num_warmup_steps)
+        progress = (step - num_warmup_steps) / max(
+            1, num_training_steps - num_warmup_steps)
+        progress = jnp.clip(progress, 0.0, 1.0)
+        decayed = (base_lr - min_lr) * (1 - progress) ** power + min_lr
+        return jnp.where(step < num_warmup_steps, warm, decayed)
+
+    return schedule
+
+
+def decoder_only_mask(params) -> dict:
+    """optax mask for decoder-only finetuning (the reference's
+    --ft_decoder, train_encdec.py:207-210): True = trainable."""
+    import jax
+
+    def trainable(path, _):
+        return any(getattr(k, "key", str(k)) == "decoder" for k in path)
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
 def make_optimizer(
     lr: float = 1e-4,
     *,
@@ -45,15 +74,25 @@ def make_optimizer(
     num_warmup_steps: int = 1000,
     num_training_steps: int = 100000,
     schedule: str = "cosine",
+    trainable_mask=None,
 ) -> optax.GradientTransformation:
+    """``trainable_mask``: optional bool pytree (True = trainable); frozen
+    leaves receive zero updates (decoder-only finetuning etc.)."""
     if schedule == "cosine":
         lr_fn = cosine_with_min_lr(lr, min_lr, num_warmup_steps,
                                    num_training_steps)
+    elif schedule == "polynomial":
+        lr_fn = polynomial_with_min_lr(lr, min_lr, num_warmup_steps,
+                                       num_training_steps)
     elif schedule == "constant":
         lr_fn = lr
     else:
         raise ValueError(schedule)
     parts = []
+    if trainable_mask is not None:
+        import jax
+        frozen = jax.tree.map(lambda m: not m, trainable_mask)
+        parts.append(optax.masked(optax.set_to_zero(), frozen))
     if grad_clip_norm is not None:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
     parts.append(optax.adamw(lr_fn, b1=betas[0], b2=betas[1], eps=eps,
