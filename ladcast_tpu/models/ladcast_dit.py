@@ -40,9 +40,8 @@ import numpy as np
 
 from ladcast_tpu.config import LaDCastDiTConfig
 from ladcast_tpu.ops import rope as rope_ops
-from ladcast_tpu.ops.attention import dot_product_attention
 from ladcast_tpu.ops.embeddings import timestep_embedding, year_sincos_embedding
-from ladcast_tpu.ops.norms import layer_norm, rms_norm
+from ladcast_tpu.ops.norms import layer_norm
 
 
 # ---------------------------------------------------------------------------
@@ -61,18 +60,6 @@ class LayerNormLayer(nn.Module):
             w = self.param("weight", nn.initializers.ones, (dim,), jnp.float32)
             b = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         return layer_norm(x, w, b, self.eps)
-
-
-class QKNorm(nn.Module):
-    """Per-head RMS norm on Q or K (diffusers Attention qk_norm='rms_norm',
-    eps=1e-7, affine weight, no bias)."""
-
-    eps: float = 1e-7
-
-    @nn.compact
-    def __call__(self, x):  # (B, S, H, D)
-        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-        return rms_norm(x, w, self.eps)
 
 
 class TimestepEmbedder(nn.Module):
@@ -140,21 +127,53 @@ def _merge_heads(x):  # (B,S,H,D) -> (B,S,H*D)
     return x.reshape(B, S, H * D)
 
 
-def _apply_rope_bshd(x, table):
-    cos, sin = table
-    return rope_ops.apply_rotary_emb(
-        x, cos[None, :, None, :], sin[None, :, None, :])
-
-
 # ---------------------------------------------------------------------------
 # Attention variants
+#
+# All three variants funnel into one fused primitive:
+# RMS-norm(Q,K) -> rotary -> flash attention
+# (ladcast_tpu.ops.attention.norm_rope_attention). Per-position tables
+# express the reference's segment asymmetries exactly:
+#   - dual-stream: latent segment rotated, conditioning segment identity
+#     rows with its own norm weights (LaDCast_3D_model.py:166-190)
+#   - single-stream: both segments rotated with their own tables
+#     (:112-141)
+#   - refiner: one segment, conditioning tables (:289-294)
 # ---------------------------------------------------------------------------
+
+def _norm_weight(module: nn.Module, name: str, dim: int):
+    """Per-head qk-norm affine weight (diffusers RMSNorm(dim_head,
+    eps=1e-7), weight-only). Parameter path matches the reference
+    (attn/<name>/weight) for checkpoint import."""
+    return module.param(f"{name}_weight", nn.initializers.ones, (dim,),
+                        jnp.float32)
+
+
+def _segment_tables(segments):
+    """Build (S, D) cos/sin/weight tables from a list of segments, each
+    (length, rope_table_or_None, weight_vector)."""
+    cos_parts, sin_parts, w_parts = [], [], []
+    for length, table, w in segments:
+        if table is None:
+            d = w.shape[-1]
+            cos_parts.append(jnp.ones((length, d), jnp.float32))
+            sin_parts.append(jnp.zeros((length, d), jnp.float32))
+        else:
+            cos_parts.append(table[0][:length])
+            sin_parts.append(table[1][:length])
+        w_parts.append(jnp.broadcast_to(w[None], (length, w.shape[-1])))
+    if len(cos_parts) == 1:
+        return cos_parts[0], sin_parts[0], w_parts[0]
+    return (jnp.concatenate(cos_parts), jnp.concatenate(sin_parts),
+            jnp.concatenate(w_parts))
+
 
 class JointAttention(nn.Module):
     """Dual-stream joint attention (diffusers Attention with
     added_kv_proj_dim; processor branch LaDCast_3D_model.py:166-190).
 
-    RoPE is applied to the latent stream only.
+    RoPE is applied to the latent stream only; the conditioning stream is
+    qk-normed with its own weights and enters un-rotated.
     """
 
     num_heads: int
@@ -163,30 +182,35 @@ class JointAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond, rope_table, attn_bias=None):
+        from ladcast_tpu.ops.attention import norm_rope_attention
+
         inner = self.num_heads * self.head_dim
+        n_lat, n_cond = x.shape[1], cond.shape[1]
         q = _split_heads(nn.Dense(inner, name="to_q")(x), self.num_heads)
         k = _split_heads(nn.Dense(inner, name="to_k")(x), self.num_heads)
         v = _split_heads(nn.Dense(inner, name="to_v")(x), self.num_heads)
-        q = QKNorm(name="norm_q")(q)
-        k = QKNorm(name="norm_k")(k)
-        if rope_table is not None:
-            q = _apply_rope_bshd(q, rope_table)
-            k = _apply_rope_bshd(k, rope_table)
-
         cq = _split_heads(nn.Dense(inner, name="add_q_proj")(cond), self.num_heads)
         ck = _split_heads(nn.Dense(inner, name="add_k_proj")(cond), self.num_heads)
         cv = _split_heads(nn.Dense(inner, name="add_v_proj")(cond), self.num_heads)
-        cq = QKNorm(name="norm_added_q")(cq)
-        ck = QKNorm(name="norm_added_k")(ck)
+
+        wq = _norm_weight(self, "norm_q", self.head_dim)
+        wk = _norm_weight(self, "norm_k", self.head_dim)
+        wcq = _norm_weight(self, "norm_added_q", self.head_dim)
+        wck = _norm_weight(self, "norm_added_k", self.head_dim)
+
+        qcos, qsin, qw = _segment_tables(
+            [(n_lat, rope_table, wq), (n_cond, None, wcq)])
+        kcos, ksin, kw = _segment_tables(
+            [(n_lat, rope_table, wk), (n_cond, None, wck)])
 
         qj = jnp.concatenate([q, cq], axis=1)
         kj = jnp.concatenate([k, ck], axis=1)
         vj = jnp.concatenate([v, cv], axis=1)
-        out = dot_product_attention(qj, kj, vj, bias=attn_bias,
-                                    impl=self.attention_impl)
+        out = norm_rope_attention(qj, kj, vj, qcos, qsin, qw, kcos, ksin,
+                                  kw, bias=attn_bias,
+                                  impl=self.attention_impl)
         out = _merge_heads(out).astype(x.dtype)
 
-        n_cond = cond.shape[1]
         x_out, c_out = out[:, :-n_cond], out[:, -n_cond:]
         x_out = nn.Dense(inner, name="to_out")(x_out)
         c_out = nn.Dense(inner, name="to_add_out")(c_out)
@@ -204,30 +228,31 @@ class ConcatStreamAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond, rope_table, cond_rope_table, attn_bias=None):
+        from ladcast_tpu.ops.attention import norm_rope_attention
+
         inner = self.num_heads * self.head_dim
-        n_cond = cond.shape[1]
+        n_lat, n_cond = x.shape[1], cond.shape[1]
         h = jnp.concatenate([x, cond], axis=1)
         q = _split_heads(nn.Dense(inner, name="to_q")(h), self.num_heads)
         k = _split_heads(nn.Dense(inner, name="to_k")(h), self.num_heads)
         v = _split_heads(nn.Dense(inner, name="to_v")(h), self.num_heads)
-        q = QKNorm(name="norm_q")(q)
-        k = QKNorm(name="norm_k")(k)
-        if rope_table is not None:
-            q = jnp.concatenate([
-                _apply_rope_bshd(q[:, :-n_cond], rope_table),
-                _apply_rope_bshd(q[:, -n_cond:], cond_rope_table)], axis=1)
-            k = jnp.concatenate([
-                _apply_rope_bshd(k[:, :-n_cond], rope_table),
-                _apply_rope_bshd(k[:, -n_cond:], cond_rope_table)], axis=1)
-        out = dot_product_attention(q, k, v, bias=attn_bias,
-                                    impl=self.attention_impl)
+
+        wq = _norm_weight(self, "norm_q", self.head_dim)
+        wk = _norm_weight(self, "norm_k", self.head_dim)
+        qcos, qsin, qw = _segment_tables(
+            [(n_lat, rope_table, wq), (n_cond, cond_rope_table, wq)])
+        kcos, ksin, kw = _segment_tables(
+            [(n_lat, rope_table, wk), (n_cond, cond_rope_table, wk)])
+
+        out = norm_rope_attention(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                                  bias=attn_bias, impl=self.attention_impl)
         out = _merge_heads(out).astype(x.dtype)
         return out[:, :-n_cond], out[:, -n_cond:]
 
 
 class SelfAttentionPreOnly(nn.Module):
-    """Refiner self-attention: QKV + qk-norm + RoPE on all tokens, no output
-    projection (pre_only=True)."""
+    """Refiner self-attention: QKV + qk-norm + RoPE on all tokens, no
+    output projection (pre_only=True)."""
 
     num_heads: int
     head_dim: int
@@ -235,17 +260,19 @@ class SelfAttentionPreOnly(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_table, attn_bias=None):
+        from ladcast_tpu.ops.attention import norm_rope_attention
+
         inner = self.num_heads * self.head_dim
+        n = x.shape[1]
         q = _split_heads(nn.Dense(inner, name="to_q")(x), self.num_heads)
         k = _split_heads(nn.Dense(inner, name="to_k")(x), self.num_heads)
         v = _split_heads(nn.Dense(inner, name="to_v")(x), self.num_heads)
-        q = QKNorm(name="norm_q")(q)
-        k = QKNorm(name="norm_k")(k)
-        if rope_table is not None:
-            q = _apply_rope_bshd(q, rope_table)
-            k = _apply_rope_bshd(k, rope_table)
-        out = dot_product_attention(q, k, v, bias=attn_bias,
-                                    impl=self.attention_impl)
+        wq = _norm_weight(self, "norm_q", self.head_dim)
+        wk = _norm_weight(self, "norm_k", self.head_dim)
+        qcos, qsin, qw = _segment_tables([(n, rope_table, wq)])
+        kcos, ksin, kw = _segment_tables([(n, rope_table, wk)])
+        out = norm_rope_attention(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                                  bias=attn_bias, impl=self.attention_impl)
         return _merge_heads(out).astype(x.dtype)
 
 

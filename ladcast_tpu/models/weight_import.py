@@ -143,7 +143,15 @@ _DIT_LEAF_RENAMES = {
 }
 
 
+_QK_NORM_LEAVES = ("norm_q_weight", "norm_k_weight",
+                   "norm_added_q_weight", "norm_added_k_weight")
+
+
 def _dit_rule(path: Tuple[str, ...]) -> str:
+    # qk-norm weights are flat params here (attn/norm_q_weight) but
+    # submodules in the reference (attn.norm_q.weight)
+    if path[-1] in _QK_NORM_LEAVES:
+        path = path[:-1] + (path[-1][: -len("_weight")], "weight")
     parts = []
     for i, p in enumerate(path[:-1]):
         if "_" in p and p.rsplit("_", 1)[-1].isdigit() and p.rsplit("_", 1)[0] in (

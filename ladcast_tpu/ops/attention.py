@@ -61,3 +61,26 @@ def dot_product_attention(
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def norm_rope_attention(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                        bias=None, impl: str = "auto",
+                        norm_eps: float = 1e-7):
+    """RMS-norm(Q,K) -> rotary -> attention, the DiT's attention primitive.
+
+    Fused Pallas kernel on TPU; XLA composite elsewhere (and whenever an
+    additive bias is requested -- the pallas path has no bias support).
+    See ops/pallas/flash_attention.py for table semantics.
+    """
+    from ladcast_tpu.ops.pallas.flash_attention import (
+        fused_norm_rope_attention,
+        xla_norm_rope_attention,
+    )
+
+    if impl == "auto":
+        impl = _default_backend()
+    if impl == "pallas" and bias is None and q.shape[-1] % 128 == 0:
+        return fused_norm_rope_attention(q, k, v, qcos, qsin, qw, kcos,
+                                         ksin, kw, norm_eps)
+    return xla_norm_rope_attention(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                                   norm_eps, bias=bias)

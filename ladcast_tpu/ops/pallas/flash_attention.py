@@ -1,23 +1,31 @@
-"""Flash attention (non-causal) as a Pallas TPU kernel.
+"""Flash attention (non-causal) as a Pallas TPU kernel, with fused
+per-head RMS-norm (qk-norm) and rotary embedding.
 
-Replaces the reference's ``F.scaled_dot_product_attention`` hot spot
-(LaDCast_3D_model.py:199-201; SURVEY.md section 2.3 item 1) for the DiT's
-joint attention: <= ~2.3k tokens, head_dim 128. Online-softmax tiling keeps
-the (S x S) logit matrix out of HBM; per grid step the kernel holds one
-query block and streams key/value blocks through VMEM.
+Replaces the reference's attention hot path (LaDCast_3D_model.py:102-201:
+RMSNorm on Q/K -> interleaved-pair RoPE -> SDPA; SURVEY.md section 2.3
+items 1+8). The norm and rotation are HBM-bound lane shuffles when done as
+separate XLA ops (~14 ms per attention at bench shapes, more than the
+attention itself); inside the kernel they run on VMEM-resident tiles for
+free.
 
-The caller-facing layout is BSHD; internally (batch, heads) fold into one
-leading grid dimension so block shapes satisfy the Mosaic (8, 128)
-trailing-dims tiling rule.
+Position-dependent tables make one kernel cover every attention variant:
+  cos/sin (S, D): rotation tables; identity rows (cos=1, sin=0) for
+    positions that are NOT rotated (the conditioning segment in
+    dual-stream joint attention, LaDCast_3D_model.py:166-190).
+  qw/kw   (S, D): per-position norm weight rows; different segments can
+    carry different affine weights (norm_q vs norm_added_q).
 
-The backward pass delegates to the XLA attention VJP (training uses the
-XLA path anyway; this keeps autodiff correct if a trainer is configured
-with the pallas impl).
+Layout: caller-facing BSHD; (batch, heads) fold into one grid dimension so
+block shapes satisfy the Mosaic trailing-dims tiling rule.
+
+Backward delegates to the XLA composite's VJP (training uses the XLA path
+by default; this keeps autodiff correct under the pallas impl too).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +35,29 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_true: int,
-               block_k: int):
-    # q_ref: (1, Bq, D); k_ref/v_ref: (1, S_pad, D); o_ref like q_ref
-    q = q_ref[0].astype(jnp.float32) * scale                  # (Bq, D)
+def _rotate_pairs(x):
+    """Interleaved-pair rotation rot[2i] = -x[2i+1], rot[2i+1] = x[2i]
+    via lane rolls (cheap on VMEM-resident data)."""
+    d = x.shape[1]
+    left = pltpu.roll(x, d - 1, 1)   # x[j+1] at j (shift must be >= 0)
+    right = pltpu.roll(x, 1, 1)      # x[j-1] at j
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane % 2 == 0, -left, right)
+
+
+def _norm_rope(x, w, cos, sin, eps):
+    """fp32 RMS-norm over lanes + rotary rotation (all inputs fp32)."""
+    var = jnp.mean(x * x, axis=1, keepdims=True)
+    xn = x * jax.lax.rsqrt(var + eps) * w
+    return xn * cos + _rotate_pairs(xn) * sin
+
+
+def _fa_fused_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, qw_ref,
+                     kcos_ref, ksin_ref, kw_ref, o_ref, *,
+                     scale: float, s_true: int, block_k: int,
+                     norm_eps: float):
+    q = _norm_rope(q_ref[0].astype(jnp.float32), qw_ref[...],
+                   qcos_ref[...], qsin_ref[...], norm_eps) * scale
     bq, d = q.shape
     s_pad = k_ref.shape[1]
     num_kb = s_pad // block_k
@@ -41,11 +68,14 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_true: int,
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        sl = pl.ds(j * block_k, block_k)
+        k = _norm_rope(k_ref[0, sl, :].astype(jnp.float32),
+                       kw_ref[sl, :], kcos_ref[sl, :], ksin_ref[sl, :],
+                       norm_eps)
+        v = v_ref[0, sl, :].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (Bq, Bk)
+            preferred_element_type=jnp.float32)
         col = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         logits = jnp.where(col < s_true, logits, _NEG_INF)
@@ -63,35 +93,156 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_true: int,
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _pad_seq(x, s_pad):
-    pad = s_pad - x.shape[1]
+def _pad_seq(x, s_pad, axis=1):
+    pad = s_pad - x.shape[axis]
     if pad == 0:
         return x
-    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
 
 
-def _flash_attention_impl(q, k, v, block_q: int = 256, block_k: int = 512):
+def _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                norm_eps: float, block_q: int = 256, block_k: int = 512):
+    """Heads are addressed by lane-sliced BlockSpecs over the packed
+    (B, S, H*D) layout -- no BSHD<->BHSD transposes touch HBM; the head's
+    128-lane slab is DMA'd directly per grid step (grid = (B, H, nq),
+    q-blocks fastest so the K/V slab stays resident per (b, h))."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     scale = 1.0 / (D ** 0.5)
 
-    def fold(x):  # BSHD -> (B*H, S, D)
-        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
-
-    qf, kf, vf = fold(q), fold(k), fold(v)
+    def pack(x):  # BSHD -> (B, S, H*D): contiguous reshape, no copy
+        return x.reshape(B, x.shape[1], H * D)
 
     block_q = min(block_q, -(-Sq // 128) * 128)
     block_k = min(block_k, -(-Sk // 128) * 128)
     sq_pad = -(-Sq // block_q) * block_q
     sk_pad = -(-Sk // block_k) * block_k
 
-    qf = _pad_seq(qf, sq_pad)
-    kf = _pad_seq(kf, sk_pad)
-    vf = _pad_seq(vf, sk_pad)
+    qf = _pad_seq(pack(q), sq_pad)
+    kf = _pad_seq(pack(k), sk_pad)
+    vf = _pad_seq(pack(v), sk_pad)
+    qcos = _pad_seq(qcos.astype(jnp.float32), sq_pad, 0)
+    qsin = _pad_seq(qsin.astype(jnp.float32), sq_pad, 0)
+    qw = _pad_seq(qw.astype(jnp.float32), sq_pad, 0)
+    kcos = _pad_seq(kcos.astype(jnp.float32), sk_pad, 0)
+    ksin = _pad_seq(ksin.astype(jnp.float32), sk_pad, 0)
+    kw = _pad_seq(kw.astype(jnp.float32), sk_pad, 0)
+
+    grid = (B, H, sq_pad // block_q)
+    q_spec = pl.BlockSpec((1, block_q, D), lambda b, h, i: (b, i, h),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, sk_pad, D), lambda b, h, i: (b, 0, h),
+                           memory_space=pltpu.VMEM)
+    tbl_q = pl.BlockSpec((block_q, D), lambda b, h, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    tbl_k = pl.BlockSpec((sk_pad, D), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fa_fused_kernel, scale=scale, s_true=Sk,
+                          block_k=block_k, norm_eps=norm_eps),
+        out_shape=jax.ShapeDtypeStruct((B, sq_pad, H * D), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, tbl_q, tbl_q, tbl_q,
+                  tbl_k, tbl_k, tbl_k],
+        out_specs=q_spec,
+    )(qf, kf, vf, qcos, qsin, qw, kcos, ksin, kw)
+    return out[:, :Sq].reshape(B, Sq, H, D)
+
+
+def _xla_norm_rope(x, w, cos, sin, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(var + eps) * w
+    x2 = xn.reshape(*xn.shape[:-1], -1, 2)
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(xn.shape)
+    return xn * cos + rot * sin
+
+
+def _xla_composite(q, k, v, qcos, qsin, qw, kcos, ksin, kw, norm_eps):
+    """Reference-math composite (norm+rope+softmax attention) in XLA;
+    used for CPU/tests and as the VJP for the fused kernel."""
+    qn = _xla_norm_rope(q, qw[None, :, None, :], qcos[None, :, None, :],
+                        qsin[None, :, None, :], norm_eps)
+    kn = _xla_norm_rope(k, kw[None, :, None, :], kcos[None, :, None, :],
+                        ksin[None, :, None, :], norm_eps)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qn, kn,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_norm_rope_attention(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                              norm_eps: float = 1e-7):
+    """RMS-norm(q,k) -> rotary -> flash attention, fused on TPU.
+
+    q/k/v: (B, S, H, D). Tables (S, D): identity rows (cos=1, sin=0,
+    w=broadcast norm weight) express un-rotated segments.
+    """
+    return _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw, norm_eps)
+
+
+def _fnra_fwd(q, k, v, qcos, qsin, qw, kcos, ksin, kw, norm_eps):
+    out = _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw, norm_eps)
+    return out, (q, k, v, qcos, qsin, qw, kcos, ksin, kw)
+
+
+def _fnra_bwd(norm_eps, res, g):
+    q, k, v, qcos, qsin, qw, kcos, ksin, kw = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_composite(*a, norm_eps), q, k, v, qcos, qsin, qw,
+        kcos, ksin, kw)
+    return vjp(g)
+
+
+fused_norm_rope_attention.defvjp(_fnra_fwd, _fnra_bwd)
+
+
+def xla_norm_rope_attention(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                            norm_eps: float = 1e-7,
+                            bias: Optional[jnp.ndarray] = None):
+    """The same composite on the XLA path (CPU/tests/bias support)."""
+    if bias is None:
+        return _xla_composite(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
+                              norm_eps)
+    qn = _xla_norm_rope(q, qw[None, :, None, :], qcos[None, :, None, :],
+                        qsin[None, :, None, :], norm_eps)
+    kn = _xla_norm_rope(k, kw[None, :, None, :], kcos[None, :, None, :],
+                        ksin[None, :, None, :], norm_eps)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qn, kn,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Plain flash attention (no fused norm/rope) -- kept for generic use.
+# ---------------------------------------------------------------------------
+
+def _flash_attention_impl(q, k, v, block_q: int = 256, block_k: int = 512):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    scale = 1.0 / (D ** 0.5)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
+
+    block_q = min(block_q, -(-Sq // 128) * 128)
+    block_k = min(block_k, -(-Sk // 128) * 128)
+    sq_pad = -(-Sq // block_q) * block_q
+    sk_pad = -(-Sk // block_k) * block_k
+    qf = _pad_seq(fold(q), sq_pad)
+    kf = _pad_seq(fold(k), sk_pad)
+    vf = _pad_seq(fold(v), sk_pad)
 
     grid = (B * H, sq_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale, s_true=Sk,
+        functools.partial(_fa_plain_kernel, scale=scale, s_true=Sk,
                           block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, D), q.dtype),
         grid=grid,
@@ -106,8 +257,42 @@ def _flash_attention_impl(q, k, v, block_q: int = 256, block_k: int = 512):
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
     )(qf, kf, vf)
-    out = out[:, :Sq]  # (B*H, Sq, D)
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+
+
+def _fa_plain_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                     s_true: int, block_k: int):
+    q = q_ref[0].astype(jnp.float32) * scale
+    bq, d = q.shape
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        sl = pl.ds(j * block_k, block_k)
+        k = k_ref[0, sl, :].astype(jnp.float32)
+        v = v_ref[0, sl, :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        logits = jnp.where(col < s_true, logits, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _xla_attention(q, k, v):

@@ -1,4 +1,4 @@
-"""Pallas flash attention vs XLA attention (interpreter mode on CPU)."""
+"""Pallas attention kernels vs the XLA composites (interpreter mode)."""
 
 import jax
 import jax.numpy as jnp
@@ -26,3 +26,67 @@ def test_flash_matches_xla_interpret(B, S, H, D):
         got = np.asarray(fa.flash_attention(q, k, v))
     want = _ref(q, k, v)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("B,Sq,Sk,H,D", [(1, 130, 130, 2, 128),
+                                         (1, 260, 150, 1, 128)])
+def test_fused_norm_rope_attention_interpret(B, Sq, Sk, H, D):
+    """Fused kernel == XLA composite, including segment tables with an
+    un-rotated tail (the dual-stream conditioning case)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ladcast_tpu.ops import rope as rope_ops
+    from ladcast_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, Sq, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, Sk, H, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, Sk, H, D).astype(np.float32))
+
+    n_rot_q, n_rot_k = Sq - 20, Sk - 20
+    cos_q, sin_q = rope_ops.rotary_tables_1d(D, np.arange(n_rot_q), 256.0)
+    cos_k, sin_k = rope_ops.rotary_tables_1d(D, np.arange(n_rot_k), 256.0)
+
+    def seg_tables(n_rot, n_tot, cos, sin, w1, w2):
+        c = np.concatenate([cos, np.ones((n_tot - n_rot, D), np.float32)])
+        s = np.concatenate([sin, np.zeros((n_tot - n_rot, D), np.float32)])
+        w = np.concatenate([np.broadcast_to(w1, (n_rot, D)),
+                            np.broadcast_to(w2, (n_tot - n_rot, D))])
+        return jnp.asarray(c), jnp.asarray(s), jnp.asarray(w)
+
+    w_a = rng.rand(D).astype(np.float32) + 0.5
+    w_b = rng.rand(D).astype(np.float32) + 0.5
+    qcos, qsin, qw = seg_tables(n_rot_q, Sq, cos_q, sin_q, w_a, w_b)
+    kcos, ksin, kw = seg_tables(n_rot_k, Sk, cos_k, sin_k, w_a, w_b)
+
+    want = np.asarray(fa.xla_norm_rope_attention(
+        q, k, v, qcos, qsin, qw, kcos, ksin, kw, 1e-7))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fa.fused_norm_rope_attention(
+            q, k, v, qcos, qsin, qw, kcos, ksin, kw, 1e-7))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_fused_backward_matches_composite_grad():
+    from ladcast_tpu.ops.pallas import flash_attention as fa
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(2)
+    B, S, H, D = 1, 8, 1, 128
+    q = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    cos = jnp.ones((S, D)); sin = jnp.zeros((S, D)); w = jnp.ones((S, D))
+
+    def loss_fused(q):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fa.fused_norm_rope_attention(
+                q, k, v, cos, sin, w, cos, sin, w, 1e-7) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(fa.xla_norm_rope_attention(
+            q, k, v, cos, sin, w, cos, sin, w, 1e-7) ** 2)
+
+    g1 = jax.grad(loss_fused)(q)
+    g2 = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
