@@ -50,24 +50,19 @@ def make_score_fn(dcae, dcae_params, lat_w, total_steps: int):
         dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
 
         lw = lat_w.reshape(-1, 1)
-        sst = ch.SST_CHANNEL_INDEX
 
-        def per_channel(c):
-            nan_safe = c == sst
-            fc = dec[..., c]
-            tr = truth[..., c]
-            cl = climate[..., c]
-            ens_mean = fc.mean(axis=0)
-            mse = scores.lat_weighted_mse(ens_mean, tr, lw, nan_safe)
-            crps_map = scores.crps(fc, tr, ensemble_axis=0)
-            crps_v = (jnp.nanmean if nan_safe else jnp.mean)(
-                crps_map * lw, axis=(-2, -1))
-            acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe)
-            return mse, crps_v, acc_v
-
-        # vectorize over channels via vmap on gather index
-        cs = jnp.arange(dec.shape[-1])
-        mse, crps_v, acc_v = jax.vmap(per_channel)(cs)
+        # nan-aware reductions throughout: truth NaNs exist only in the
+        # SST channel over land (the reference uses nanmean there,
+        # evaluate_ens_gpu.py:339-419); for NaN-free channels nanmean
+        # equals mean, so one code path covers all channels.
+        fc = jnp.moveaxis(dec, -1, 0)        # (C, E, T, H, W)
+        tr = jnp.moveaxis(truth, -1, 0)      # (C, T, H, W)
+        cl = jnp.moveaxis(climate, -1, 0)
+        ens_mean = fc.mean(axis=1)
+        mse = scores.lat_weighted_mse(ens_mean, tr, lw, nan_safe=True)
+        crps_map = scores.crps(fc, tr[:, None], ensemble_axis=1)
+        crps_v = jnp.nanmean(crps_map * lw, axis=(-2, -1))
+        acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe=True)
         return {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
 
     return score
