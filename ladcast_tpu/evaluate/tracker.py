@@ -202,6 +202,43 @@ def load_hurdat(path: str, storm_id: str):
     raise ValueError(f"storm {storm_id!r} not found in {path}")
 
 
+def load_kml_tracks(path: str, valid_models: Optional[Sequence[str]] = None,
+                    n_steps: Optional[int] = None, interval: int = 1):
+    """Parse model cyclone tracks from a KML file (the reference fetches
+    these from a URL, track.py:338-386; zero-egress images read a local
+    file). Returns {model_name: [(datetime, lat, lon), ...]}.
+
+    Expects the common multi-model track KML layout: one Folder per model,
+    Placemarks with a when/TimeStamp and coordinates "lon,lat[,alt]".
+    """
+    import re
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    ns = {"k": re.sub(r"\{(.*)\}.*", r"\1", tree.getroot().tag)}
+    out = {}
+    for folder in tree.getroot().iter(f"{{{ns['k']}}}Folder"):
+        name_el = folder.find(f"{{{ns['k']}}}name")
+        model = name_el.text.strip() if name_el is not None else "unknown"
+        if valid_models and model not in valid_models:
+            continue
+        pts = []
+        for pm in folder.iter(f"{{{ns['k']}}}Placemark"):
+            when = pm.find(f".//{{{ns['k']}}}when")
+            coord = pm.find(f".//{{{ns['k']}}}coordinates")
+            if when is None or coord is None:
+                continue
+            t = datetime.fromisoformat(when.text.strip().replace("Z", ""))
+            lon, lat = [float(v) for v in coord.text.strip().split(",")[:2]]
+            pts.append((t, lat, lon % 360))
+        pts = sorted(pts)[::interval]
+        if n_steps is not None:
+            pts = pts[: n_steps + 1]
+        if pts:
+            out[model] = pts
+    return out
+
+
 def track_error_km(track_a, track_b) -> np.ndarray:
     """Great-circle distance (km) between two tracks at matching times."""
     bmap = {t: (la, lo) for t, la, lo in track_b}
