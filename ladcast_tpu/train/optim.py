@@ -89,6 +89,7 @@ def make_optimizer(
     else:
         raise ValueError(schedule)
     parts = []
+    frozen = None
     if trainable_mask is not None:
         import jax
         frozen = jax.tree.map(lambda m: not m, trainable_mask)
@@ -96,5 +97,10 @@ def make_optimizer(
     if grad_clip_norm is not None:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
     parts.append(optax.adamw(lr_fn, b1=betas[0], b2=betas[1], eps=eps,
-                             weight_decay=weight_decay))
+                             weight_decay=weight_decay,
+                             mask=trainable_mask))
+    if frozen is not None:
+        # weight decay is masked above; this guarantees exact zero updates
+        # for frozen leaves regardless of optimizer internals.
+        parts.append(optax.masked(optax.set_to_zero(), frozen))
     return optax.chain(*parts)
