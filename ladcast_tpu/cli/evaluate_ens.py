@@ -31,22 +31,24 @@ from ladcast_tpu.metrics.weights import grid_lat_weights
 from ladcast_tpu.models.dcae import AutoencoderDC
 
 
-def make_score_fn(dcae, dcae_params, lat_w, total_steps: int):
+def make_score_fn(dcae, dcae_params, lat_w, total_steps: int,
+                  latent_stats=None, target_std: float = 0.5):
     """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics."""
+    if latent_stats is None:
+        latent_stats = static_data.latent_mean_std()
+    lm, ls = latent_stats
 
     @jax.jit
     def score(latents_norm, truth, climate):
         # latents_norm: (E, T, h, w, C) normalized; truth/climate:
         # (T, H, W, C) physical
-        lm, ls = static_data.latent_mean_std()
         z = transforms.inverse_normalize(latents_norm, jnp.asarray(lm),
-                                         jnp.asarray(ls), 0.5)
+                                         jnp.asarray(ls), target_std)
         E, T = z.shape[:2]
-        zf = z.reshape(E * T, *z.shape[2:])
         dec = jax.lax.map(
             lambda zz: dcae.apply(dcae_params, zz,
                                   method=AutoencoderDC.decode),
-            zf.reshape(T, E, *z.shape[2:]))  # chunk over lead time
+            jnp.swapaxes(z, 0, 1))  # chunk over lead time: (T, E, h, w, C)
         dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
 
         lw = lat_w.reshape(-1, 1)
