@@ -39,10 +39,14 @@ def main(argv=None):
     fm, fs = static_data.era5_mean_std()
 
     @jax.jit
-    def encode(batch):
+    def _encode(p, batch):
         x = transforms.normalize(batch, jnp.asarray(fm), jnp.asarray(fs))
         x = jnp.where(jnp.isnan(x), -2.0, x)
-        return dcae.apply(params, x, static, method=AutoencoderDC.encode)
+        return dcae.apply(p, x, static, method=AutoencoderDC.encode)
+
+    def encode(batch):
+        # params explicit: captured trees overflow remote compile requests
+        return _encode(params, batch)
 
     if args.data.endswith(".npz"):
         src = NpzFieldSource(args.data)

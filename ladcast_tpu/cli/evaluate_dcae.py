@@ -45,11 +45,11 @@ def main(argv=None):
     lat_w = jnp.asarray(grid_lat_weights("cos"), jnp.float32)
 
     @jax.jit
-    def recon_metrics(raw):
+    def _recon_metrics(p, raw):
         x = transforms.normalize(raw, fm_j, fs_j)
         nan_mask = jnp.isnan(x[..., ch.SST_CHANNEL_INDEX])
         x = jnp.where(jnp.isnan(x), -2.0, x)
-        y = dcae.apply(params, x, statics)  # statics stripped on decode
+        y = dcae.apply(p, x, statics)  # statics stripped on decode
         m = nan_mask[..., None] & (jnp.arange(x.shape[-1])
                                    == ch.SST_CHANNEL_INDEX)
         y = jnp.where(m, -2.0, y)
@@ -61,6 +61,9 @@ def main(argv=None):
         err_phys = (y - x) * fs_j  # undo z-scoring scale
         rmse = jnp.sqrt(jnp.mean(lw * err_phys**2, axis=(0, 1, 2)))
         return rel, rmse
+
+    def recon_metrics(raw):
+        return _recon_metrics(params, raw)
 
     src = (NpzFieldSource(args.data) if args.data.endswith(".npz")
            else ZarrFieldSource(args.data))

@@ -39,15 +39,15 @@ def make_score_fn(dcae, dcae_params, lat_w, total_steps: int,
     lm, ls = latent_stats
 
     @jax.jit
-    def score(latents_norm, truth, climate):
+    def _score(p, latents_norm, truth, climate):
         # latents_norm: (E, T, h, w, C) normalized; truth/climate:
         # (T, H, W, C) physical
         z = transforms.inverse_normalize(latents_norm, jnp.asarray(lm),
                                          jnp.asarray(ls), target_std)
+        del latents_norm
         E, T = z.shape[:2]
         dec = jax.lax.map(
-            lambda zz: dcae.apply(dcae_params, zz,
-                                  method=AutoencoderDC.decode),
+            lambda zz: dcae.apply(p, zz, method=AutoencoderDC.decode),
             jnp.swapaxes(z, 0, 1))  # chunk over lead time: (T, E, h, w, C)
         dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
 
@@ -66,6 +66,11 @@ def make_score_fn(dcae, dcae_params, lat_w, total_steps: int,
         crps_v = jnp.nanmean(crps_map * lw, axis=(-2, -1))
         acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe=True)
         return {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
+
+    def score(latents_norm, truth, climate):
+        # params passed explicitly: closure-captured trees stall/overflow
+        # remote compiles (see rollout/pipeline.py note)
+        return _score(dcae_params, latents_norm, truth, climate)
 
     return score
 
@@ -104,7 +109,12 @@ def main(argv=None):
         T = lat.shape[1]
         lead_ts = [time_utils.add_hours_int(ts, args.step_size_hour * (i + 1))
                    for i in range(T)]
-        truth = truth_src.frames_at(lead_ts)  # (T, H, W, C) physical
+        try:
+            truth = truth_src.frames_at(lead_ts)  # (T, H, W, C) physical
+        except (KeyError, ValueError) as e:
+            print(json.dumps({"init_time": ts, "skipped": str(e)[:120]}),
+                  flush=True)
+            continue
         if clim is not None:
             cl = np.stack([
                 clim[time_utils.int_to_datetime(t).timetuple().tm_yday - 1,

@@ -138,7 +138,12 @@ def main(argv=None):
         t0 = time.time()
         input_ts = [time_utils.add_hours_int(ts, -args.step_size_hour * i)
                     for i in range(args.input_seq_len - 1, -1, -1)]
-        raw = source.frames_at(input_ts)  # (T_in, lat, lon, 84)
+        try:
+            raw = source.frames_at(input_ts)  # (T_in, lat, lon, 84)
+        except (KeyError, ValueError) as e:
+            print(json.dumps({"init_time": ts, "skipped": str(e)[:120]}),
+                  flush=True)
+            continue
         fields = transforms.normalize(raw, fm, fs)
         fields = np.where(
             np.isnan(fields), -2.0, fields).astype(np.float32)  # SST mask

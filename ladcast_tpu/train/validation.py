@@ -23,7 +23,8 @@ from ladcast_tpu.rollout.engine import ensemble_rollout
 
 
 def validate_ar_model(
-    net_fn,
+    net_fn,                     # net_fn(params, latents, c_noise, cond, yp)
+    params,
     val_inputs: jnp.ndarray,    # (N, T_in, h, w, C) normalized latents
     val_targets: jnp.ndarray,   # (N, total_steps, h, w, C) normalized
     year_progress: np.ndarray,  # (N, num_repetitions)
@@ -37,10 +38,12 @@ def validate_ar_model(
     lat_w = jnp.asarray(latent_lat_weights(), jnp.float32).reshape(-1, 1)
 
     @jax.jit
-    def one(inp, tgt, yp, k):
+    def one(p, inp, tgt, yp, k):
         known = jnp.broadcast_to(inp[None],
                                  (rcfg.ensemble_size, *inp.shape))
-        traj = ensemble_rollout(net_fn, known, yp, k, sched_cfg, rcfg)
+        traj = ensemble_rollout(
+            lambda lat, cn, cond, ypp: net_fn(p, lat, cn, cond, ypp),
+            known, yp, k, sched_cfg, rcfg)
         ens_mean = traj.mean(axis=0)
         rmse = jnp.sqrt(scores.lat_weighted_mse(
             jnp.moveaxis(ens_mean, -1, 1), jnp.moveaxis(tgt, -1, 1),
@@ -53,7 +56,7 @@ def validate_ar_model(
     rmses, crpss = [], []
     for i in range(val_inputs.shape[0]):
         key, sub = jax.random.split(key)
-        r, c = one(val_inputs[i], val_targets[i],
+        r, c = one(params, val_inputs[i], val_targets[i],
                    jnp.asarray(year_progress[i]), sub)
         rmses.append(np.asarray(r))
         crpss.append(np.asarray(c))
