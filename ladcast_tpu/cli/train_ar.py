@@ -139,7 +139,7 @@ def main(argv=None):
 
     state = jax.device_put(state, repl)
     step_fn = jax.jit(train_step, in_shardings=(repl, (bsh, bsh, bsh), repl),
-                      out_shardings=(repl, repl), donate_argnums=0)
+                      out_shardings=(repl, repl))
 
     logger = MetricLogger(out_dir, config=cfg,
                           log_with=cfg.get("accelerator", {}).get("log_with",

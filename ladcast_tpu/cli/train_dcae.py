@@ -113,7 +113,7 @@ def main(argv=None):
     state = jax.device_put(state, repl)
     step_fn = jax.jit(train_step,
                       in_shardings=(repl, (bsh, bsh, repl), repl),
-                      out_shardings=(repl, repl), donate_argnums=0)
+                      out_shardings=(repl, repl))
 
     logger = MetricLogger(out_dir, config=cfg)
     key = jax.random.PRNGKey(args.seed)
