@@ -106,6 +106,21 @@ def main(argv=None):
     example = make_batch(rng.choice(all_ts, global_bs, replace=False))
     state = init_fn(jax.random.PRNGKey(args.seed), example)
 
+    if train_cfg.get("ft_decoder_only", False):
+        # decoder-only finetune (reference --ft_decoder): rebuild the
+        # optimizer with the encoder frozen via a trainable mask.
+        from ladcast_tpu.train.optim import decoder_only_mask
+        mask = decoder_only_mask(state.params)
+        optimizer = make_optimizer(
+            lr=float(opt_cfg.get("lr", 1e-4)),
+            weight_decay=float(opt_cfg.get("weight_decay", 1e-2)),
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            num_warmup_steps=lr_cfg.get("num_warmup_steps", 1000),
+            num_training_steps=num_steps, trainable_mask=mask)
+        init_fn, train_step, eval_step = make_dcae_train_step(
+            dcae_cfg, tcfg, optimizer)
+        state = state._replace(opt_state=optimizer.init(state.params))
+
     mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"))
     if args.resume:
         state = ckpt.restore_state(
