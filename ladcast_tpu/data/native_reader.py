@@ -16,7 +16,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

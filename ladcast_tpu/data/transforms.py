@@ -8,8 +8,6 @@ tensors are (..., H, W, C) and mean/std are per-channel (C,) vectors.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,12 +13,11 @@ coordinate metadata.
 from __future__ import annotations
 
 import json
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from ladcast_tpu import channels as ch
-from ladcast_tpu.data import time_utils
 
 
 def grid_coords(num_steps: int, step_size_hour: int = 6):

@@ -3,7 +3,7 @@ per-variable breakdown (port of reference metric/loss.py:7-196)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 

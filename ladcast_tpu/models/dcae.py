@@ -30,7 +30,7 @@ temb_channels), and encode/decode are deterministic.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -31,9 +31,6 @@ at the boundary).
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

@@ -21,9 +21,8 @@ equivalent) when the jitted step produces replicated grads.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
-from typing import NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

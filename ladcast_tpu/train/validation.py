@@ -10,7 +10,7 @@ when DCAE params are supplied.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

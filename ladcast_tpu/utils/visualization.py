@@ -9,7 +9,7 @@ functions work in the minimal TPU image.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
