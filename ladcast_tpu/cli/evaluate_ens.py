@@ -135,9 +135,35 @@ def main(argv=None):
     for k in ("ens_mean_mse", "crps", "acc"):
         stacked = np.stack([m[k] for m in acc_metrics])  # (N, C, T)
         np.save(os.path.join(args.output_dir, f"{k}.npy"), stacked)
-    # summary: lat-weighted RMSE per variable at day 1/5/10 equivalents
+
+    # Human-readable summary table: per-variable ens-mean RMSE/CRPS at
+    # day 1/5/10 (the headline figure layout, assets/2018_rmse.png).
+    mse = np.stack([m["ens_mean_mse"] for m in acc_metrics]).mean(0)
+    crps = np.stack([m["crps"] for m in acc_metrics]).mean(0)
+    T = mse.shape[1]
+    leads = {f"day{d}": min(d * 24 // args.step_size_hour - 1, T - 1)
+             for d in (1, 5, 10) if d * 24 // args.step_size_hour - 1 < T
+             or d == 1}
+    headline = [("geopotential", 500), ("temperature", 850),
+                ("mean_sea_level_pressure", None),
+                ("2m_temperature", None), ("10m_u_component_of_wind", None),
+                ("specific_humidity", 700)]
+    summary = {}
+    for var, level in headline:
+        try:
+            ci = ch.channel_index(var, level)
+        except (ValueError, AssertionError):
+            continue
+        name = f"{var}@{level}" if level else var
+        summary[name] = {
+            k: {"rmse": round(float(np.sqrt(mse[ci, t])), 4),
+                "crps": round(float(crps[ci, t]), 4)}
+            for k, t in leads.items()}
+    with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
     print(json.dumps({"num_init_times": len(acc_metrics),
-                      "saved": args.output_dir}))
+                      "saved": args.output_dir,
+                      "summary": summary}))
 
 
 if __name__ == "__main__":

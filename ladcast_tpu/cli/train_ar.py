@@ -62,6 +62,12 @@ def main(argv=None):
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--num_push_forward_steps", type=int, default=1)
     ap.add_argument("--lat_weighted_loss", action="store_true")
+    ap.add_argument("--val_latents", default=None,
+                    help="held-out latent source for ensemble validation")
+    ap.add_argument("--val_every", type=int, default=0,
+                    help="run ensemble validation every N steps (0=off)")
+    ap.add_argument("--val_ensemble_size", type=int, default=10)
+    ap.add_argument("--val_num_init_times", type=int, default=4)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -144,6 +150,55 @@ def main(argv=None):
     logger = MetricLogger(out_dir, config=cfg,
                           log_with=cfg.get("accelerator", {}).get("log_with",
                                                                   "jsonl"))
+
+    run_validation = None
+    if args.val_every and args.val_latents:
+        # epoch-style ensemble validation (the reference's log_validation,
+        # train_AR.py:54-385): real N-member rollouts from held-out latents
+        # scored in latent space.
+        from ladcast_tpu.config import RolloutConfig
+        from ladcast_tpu.data import time_utils
+        from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+        from ladcast_tpu.train.validation import validate_ar_model
+
+        val_src = load_latent_source(args.val_latents)
+        rcfg = RolloutConfig(
+            ensemble_size=args.val_ensemble_size,
+            return_seq_len=wcfg.return_seq_len,
+            input_seq_len=wcfg.input_seq_len,
+            total_lead_time_hour=240, step_size_hour=6)
+        val_ds = ARLatentDataset(
+            val_src, ARWindowConfig(
+                wcfg.input_seq_len, rcfg.total_num_steps,
+                wcfg.interval_between_pred, 1),
+            mean=lm, std=ls, target_std=0.5)
+        vidx = np.linspace(0, len(val_ds) - 1,
+                           args.val_num_init_times).astype(int)
+        vin, vtg, vyp = [], [], []
+        for i in vidx:
+            inp, tgt, ts = val_ds[int(i)]
+            vin.append(inp)
+            vtg.append(tgt)
+            vyp.append(time_utils.rollout_year_progress(
+                ts, rcfg.num_repetitions,
+                rcfg.step_size_hour * rcfg.return_seq_len))
+        vin, vtg = np.stack(vin), np.stack(vtg)
+        vyp = np.stack(vyp)
+        model = LaDCastTransformer3D(model_cfg)
+
+        def net_fn(p, lat, cn, cond, yp):
+            return model.apply(p, lat, cn, cond, yp)
+
+        def run_validation(state, step):
+            params = state.ema.params if state.ema is not None \
+                else state.params
+            m = validate_ar_model(
+                net_fn, params, jnp.asarray(vin), jnp.asarray(vtg), vyp,
+                jax.random.PRNGKey(1234), sched_cfg, rcfg)
+            logger.log({"val_latent_rmse": float(m["latent_rmse"].mean()),
+                        "val_latent_crps": float(m["latent_crps"].mean())},
+                       step)
+
     key = jax.random.PRNGKey(args.seed + jax.process_index())
     ckpt_every = gen_cfg.get("checkpointing_steps", 50000)
     t0 = time.time()
@@ -166,6 +221,8 @@ def main(argv=None):
                         "steps_per_s": 50 / max(time.time() - t0, 1e-9)},
                        step)
             t0 = time.time()
+        if run_validation is not None and step % args.val_every == 0:
+            run_validation(state, step)
         if step % ckpt_every == 0 or step == num_steps:
             ckpt.save_state(mgr, step, jax.device_get(state))
     mgr.wait_until_finished()
