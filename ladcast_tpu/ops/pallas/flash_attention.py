@@ -52,45 +52,81 @@ def _norm_rope(x, w, cos, sin, eps):
     return xn * cos + _rotate_pairs(xn) * sin
 
 
+def _norm_rope_kernel(x_ref, cos_ref, sin_ref, w_ref, o_ref, *,
+                      head_dim: int, norm_eps: float):
+    """One-pass norm+rope preprocessing over packed (1, block, hpt*D)
+    tiles (applied to K ahead of attention, so the FA kernel never
+    recomputes K-side work per q block)."""
+    hpt = x_ref.shape[2] // head_dim
+    for hi in range(hpt):
+        fsl = slice(hi * head_dim, (hi + 1) * head_dim)
+        o_ref[0, :, fsl] = _norm_rope(
+            x_ref[0, :, fsl].astype(jnp.float32), w_ref[...], cos_ref[...],
+            sin_ref[...], norm_eps).astype(o_ref.dtype)
+
+
+def _preprocess_packed(x_packed, cos, sin, w, head_dim: int,
+                       norm_eps: float, block: int = 512):
+    """norm+rope a packed (B, S, H*D) tensor via a tiled Pallas pass."""
+    B, S, HD = x_packed.shape
+    grid = (B, HD // head_dim, S // block)
+    spec = pl.BlockSpec((1, block, head_dim), lambda b, h, i: (b, i, h),
+                        memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((block, head_dim), lambda b, h, i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_norm_rope_kernel, head_dim=head_dim,
+                          norm_eps=norm_eps),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), x_packed.dtype),
+        grid=grid,
+        in_specs=[spec, tbl, tbl, tbl],
+        out_specs=spec,
+    )(x_packed, cos, sin, w)
+
+
 def _fa_fused_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, qw_ref,
-                     kcos_ref, ksin_ref, kw_ref, o_ref, *,
-                     scale: float, s_true: int, block_k: int,
-                     norm_eps: float):
-    q = _norm_rope(q_ref[0].astype(jnp.float32), qw_ref[...],
-                   qcos_ref[...], qsin_ref[...], norm_eps) * scale
-    bq, d = q.shape
+                     o_ref, *, scale: float, s_true: int, block_k: int,
+                     norm_eps: float, head_dim: int):
+    # q-side norm+rope fused here (computed once per q block); K arrives
+    # already normed+rotated from the preprocessing pass. Tiles may pack
+    # several heads along lanes (heads_per_tile = lane_width / head_dim).
     s_pad = k_ref.shape[1]
     num_kb = s_pad // block_k
+    hpt = q_ref.shape[2] // head_dim
 
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    for hi in range(hpt):
+        fsl = slice(hi * head_dim, (hi + 1) * head_dim)
+        q = _norm_rope(q_ref[0, :, fsl].astype(jnp.float32), qw_ref[...],
+                       qcos_ref[...], qsin_ref[...], norm_eps) * scale
+        bq, d = q.shape
 
-    def body(j, carry):
-        m, l, acc = carry
-        sl = pl.ds(j * block_k, block_k)
-        k = _norm_rope(k_ref[0, sl, :].astype(jnp.float32),
-                       kw_ref[sl, :], kcos_ref[sl, :], ksin_ref[sl, :],
-                       norm_eps)
-        v = v_ref[0, sl, :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        col = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        logits = jnp.where(col < s_true, logits, _NEG_INF)
+        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
 
-        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        def body(j, carry):
+            m, l, acc = carry
+            sl = pl.ds(j * block_k, block_k)
+            k = k_ref[0, sl, fsl].astype(jnp.float32)
+            v = v_ref[0, sl, fsl].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            col = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            logits = jnp.where(col < s_true, logits, _NEG_INF)
 
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+        o_ref[0, :, fsl] = (acc / l).astype(o_ref.dtype)
 
 
 def _pad_seq(x, s_pad, axis=1):
@@ -103,14 +139,19 @@ def _pad_seq(x, s_pad, axis=1):
 
 
 def _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
-                norm_eps: float, block_q: int = 256, block_k: int = 512):
+                norm_eps: float, block_q: int = 256, block_k: int = 512,
+                heads_per_tile: int = 3):
     """Heads are addressed by lane-sliced BlockSpecs over the packed
-    (B, S, H*D) layout -- no BSHD<->BHSD transposes touch HBM; the head's
-    128-lane slab is DMA'd directly per grid step (grid = (B, H, nq),
-    q-blocks fastest so the K/V slab stays resident per (b, h))."""
+    (B, S, H*D) layout -- no BSHD<->BHSD transposes touch HBM; each grid
+    step DMAs a ``heads_per_tile * 128``-lane slab directly (grid =
+    (B, H/hpt, nq), q-blocks fastest so K/V slabs stay resident per
+    (b, head-group))."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     scale = 1.0 / (D ** 0.5)
+    while H % heads_per_tile:
+        heads_per_tile -= 1
+    hpt = heads_per_tile
 
     def pack(x):  # BSHD -> (B, S, H*D): contiguous reshape, no copy
         return x.reshape(B, x.shape[1], H * D)
@@ -130,24 +171,27 @@ def _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
     ksin = _pad_seq(ksin.astype(jnp.float32), sk_pad, 0)
     kw = _pad_seq(kw.astype(jnp.float32), sk_pad, 0)
 
-    grid = (B, H, sq_pad // block_q)
-    q_spec = pl.BlockSpec((1, block_q, D), lambda b, h, i: (b, i, h),
+    # K preprocessing (norm+rope) once, in its own tiled pass: inside the
+    # FA kernel it would be recomputed for every q block (the dominant
+    # cost at bench shapes -- ~9x redundant VPU work).
+    kf = _preprocess_packed(kf, kcos, ksin, kw, D, norm_eps,
+                            block=min(512, sk_pad))
+
+    grid = (B, H // hpt, sq_pad // block_q)
+    q_spec = pl.BlockSpec((1, block_q, hpt * D), lambda b, h, i: (b, i, h),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, sk_pad, D), lambda b, h, i: (b, 0, h),
+    kv_spec = pl.BlockSpec((1, sk_pad, hpt * D), lambda b, h, i: (b, 0, h),
                            memory_space=pltpu.VMEM)
     tbl_q = pl.BlockSpec((block_q, D), lambda b, h, i: (i, 0),
                          memory_space=pltpu.VMEM)
-    tbl_k = pl.BlockSpec((sk_pad, D), lambda b, h, i: (0, 0),
-                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fa_fused_kernel, scale=scale, s_true=Sk,
-                          block_k=block_k, norm_eps=norm_eps),
+                          block_k=block_k, norm_eps=norm_eps, head_dim=D),
         out_shape=jax.ShapeDtypeStruct((B, sq_pad, H * D), q.dtype),
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, tbl_q, tbl_q, tbl_q,
-                  tbl_k, tbl_k, tbl_k],
+        in_specs=[q_spec, kv_spec, kv_spec, tbl_q, tbl_q, tbl_q],
         out_specs=q_spec,
-    )(qf, kf, vf, qcos, qsin, qw, kcos, ksin, kw)
+    )(qf, kf, vf, qcos, qsin, qw)
     return out[:, :Sq].reshape(B, Sq, H, D)
 
 
