@@ -1,0 +1,91 @@
+"""Rollout engine edge cases: latent noise perturbation, multi-frame
+conditioning feedback, partial final repetition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladcast_tpu.config import EDMSchedulerConfig, RolloutConfig
+from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+from ladcast_tpu.rollout.engine import ensemble_rollout
+from tests.test_dit import TINY
+
+SCHED = EDMSchedulerConfig()
+H, W, C = 4, 6, 6
+
+
+def _net():
+    model = LaDCastTransformer3D(TINY)
+
+    def make(t_out, t_in):
+        lat = jnp.zeros((1, t_out, H, W, C))
+        cond = jnp.zeros((1, t_in, H, W, C))
+        params = model.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)),
+                            cond, jnp.zeros((1,)))
+
+        def net_fn(lat, cn, cond, yp):
+            return model.apply(params, lat, cn, cond, yp)
+
+        return net_fn
+
+    return make
+
+
+def test_noise_level_perturbation_changes_members_differently():
+    make = _net()
+    net_fn = make(2, 1)
+    cfg0 = RolloutConfig(ensemble_size=3, num_inference_steps=2,
+                         return_seq_len=2, input_seq_len=1,
+                         total_lead_time_hour=12, step_size_hour=6,
+                         noise_level=0.0)
+    cfg1 = RolloutConfig(ensemble_size=3, num_inference_steps=2,
+                         return_seq_len=2, input_seq_len=1,
+                         total_lead_time_hour=12, step_size_hour=6,
+                         noise_level=0.1)
+    known = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (1, 1, H, W, C)),
+        (3, 1, H, W, C))
+    yp = jnp.asarray([0.5])
+    std = jnp.ones((C,))
+    a = ensemble_rollout(net_fn, known, yp, jax.random.PRNGKey(2), SCHED,
+                         cfg0, latent_std=std)
+    b = ensemble_rollout(net_fn, known, yp, jax.random.PRNGKey(2), SCHED,
+                         cfg1, latent_std=std)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # per-member perturbations differ (identical initial conditions)
+    d0 = np.abs(np.asarray(a[0]) - np.asarray(b[0])).mean()
+    d1 = np.abs(np.asarray(a[1]) - np.asarray(b[1])).mean()
+    assert d0 > 0 and d1 > 0 and not np.isclose(d0, d1)
+
+
+def test_multi_frame_feedback():
+    """input_seq_len=2: the next repetition is conditioned on the LAST TWO
+    predicted frames (pipelines/utils.py:563 semantics)."""
+    make = _net()
+    net_fn = make(3, 2)
+    cfg = RolloutConfig(ensemble_size=2, num_inference_steps=2,
+                        return_seq_len=3, input_seq_len=2,
+                        total_lead_time_hour=36, step_size_hour=6)
+    known = jax.random.normal(jax.random.PRNGKey(1), (2, 2, H, W, C))
+    yp = jnp.asarray([0.1, 0.2])
+    traj = ensemble_rollout(net_fn, known, yp, jax.random.PRNGKey(0),
+                            SCHED, cfg)
+    assert traj.shape == (2, 6, H, W, C)
+    assert np.isfinite(np.asarray(traj)).all()
+
+
+def test_partial_final_repetition_truncated():
+    """total steps not a multiple of return_seq_len: trailing frames of the
+    last repetition are dropped (reference pred_selection logic,
+    pipelines/utils.py:535-536)."""
+    make = _net()
+    net_fn = make(4, 1)
+    cfg = RolloutConfig(ensemble_size=2, num_inference_steps=2,
+                        return_seq_len=4, input_seq_len=1,
+                        total_lead_time_hour=36, step_size_hour=6)  # 6 steps
+    assert cfg.num_repetitions == 2 and cfg.total_num_steps == 6
+    known = jax.random.normal(jax.random.PRNGKey(1), (2, 1, H, W, C))
+    yp = jnp.asarray([0.1, 0.2])
+    traj = ensemble_rollout(net_fn, known, yp, jax.random.PRNGKey(0),
+                            SCHED, cfg)
+    assert traj.shape == (2, 6, H, W, C)
