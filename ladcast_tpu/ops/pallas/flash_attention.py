@@ -98,6 +98,13 @@ def _fa_fused_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, qw_ref,
         fsl = slice(hi * head_dim, (hi + 1) * head_dim)
         q = _norm_rope(q_ref[0, :, fsl].astype(jnp.float32), qw_ref[...],
                        qcos_ref[...], qsin_ref[...], norm_eps) * scale
+        # MXU operands follow the input dtype: bf16 inputs keep the MXU in
+        # single-pass mode (fp32 operands are ~8x slower on v5e);
+        # accumulation stays fp32 either way. fp32 inputs (parity mode)
+        # compute fully in fp32.
+        op_dtype = o_ref.dtype if o_ref.dtype == jnp.bfloat16 \
+            else jnp.float32
+        q = q.astype(op_dtype)
         bq, d = q.shape
 
         m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
@@ -107,8 +114,8 @@ def _fa_fused_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, qw_ref,
         def body(j, carry):
             m, l, acc = carry
             sl = pl.ds(j * block_k, block_k)
-            k = k_ref[0, sl, fsl].astype(jnp.float32)
-            v = v_ref[0, sl, fsl].astype(jnp.float32)
+            k = k_ref[0, sl, fsl].astype(op_dtype)  # preprocessed
+            v = v_ref[0, sl, fsl].astype(op_dtype)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -121,7 +128,7 @@ def _fa_fused_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, qw_ref,
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc_new = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(op_dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc_new
 
