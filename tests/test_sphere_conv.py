@@ -112,3 +112,56 @@ def test_grad_flows():
 
     g = jax.grad(loss)(kernel)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gradient_matches_torch_reference():
+    """Backward parity: d(loss)/d(kernel) and d(loss)/d(input) of the
+    sphere conv must match torch autograd through the reference MATH
+    (training differentiates through the pole corrections).
+
+    The reference module itself cannot be autograd-differentiated w.r.t.
+    its weight: it flips kernel rows by mutating ``weight.data`` in place
+    (sphere_conv.py:99-108), which detaches those reads from the graph.
+    We therefore reimplement the same 3-slice math functionally in torch
+    (out-of-place flips) as the gradient oracle."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    cin, cout, k, H, W = 3, 4, 3, 8, 12
+    x = rng.randn(2, cin, H, W).astype(np.float32)
+    w = rng.randn(cout, cin, k, k).astype(np.float32)
+
+    def torch_sphere_conv(xt, wt):
+        p = k // 2
+        half = W // 2
+        top = torch.flip(torch.roll(xt[:, :, :p, :], half, dims=3), [2])
+        bot = torch.flip(torch.roll(xt[:, :, -p:, :], half, dims=3), [2])
+        padded = torch.cat([top, xt, bot], dim=2)
+        padded = F.pad(padded, (p, p, 0, 0), mode="circular")
+        k_top = torch.cat([torch.flip(wt[:, :, :p], [3]), wt[:, :, p:]], 2)
+        k_bot = torch.cat([wt[:, :, :k - p],
+                           torch.flip(wt[:, :, k - p:], [3])], 2)
+        t = F.conv2d(padded[:, :, :k], k_top)
+        m = F.conv2d(padded[:, :, 1:-1], wt)
+        b = F.conv2d(padded[:, :, -k:], k_bot)
+        return torch.cat([t, m, b], dim=2)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    wt = torch.from_numpy(w).requires_grad_(True)
+    loss = (torch_sphere_conv(xt, wt) ** 2).sum()
+    loss.backward()
+    want_dx = xt.grad.numpy()
+    want_dw = wt.grad.numpy()
+
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    kernel = jnp.asarray(w.transpose(2, 3, 1, 0))
+
+    def loss_fn(xx, kk):
+        return jnp.sum(sphere_conv2d(xx, kk, None) ** 2)
+
+    dx, dk = jax.grad(loss_fn, argnums=(0, 1))(x_nhwc, kernel)
+    np.testing.assert_allclose(np.asarray(dx).transpose(0, 3, 1, 2),
+                               want_dx, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk).transpose(3, 2, 0, 1),
+                               want_dw, atol=1e-3, rtol=1e-3)
