@@ -110,6 +110,9 @@ def main():
     measured = min(times)
 
     target = 60.0 * 8 / n_chips
+    # BASELINE.json also asks for denoise steps/sec per member:
+    # num_repetitions * num_inference_steps denoise steps per member.
+    member_steps = rcfg.num_repetitions * rcfg.num_inference_steps * ens
     print(json.dumps({
         "metric": f"375M 20-member 240h ensemble rollout wall-clock "
                   f"({n_chips} chip{'s' if n_chips > 1 else ''}, "
@@ -117,6 +120,7 @@ def main():
         "value": round(measured, 3),
         "unit": "s",
         "vs_baseline": round(target / measured, 3),
+        "member_denoise_steps_per_s": round(member_steps / measured, 1),
     }))
 
 
