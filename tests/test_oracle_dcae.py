@@ -1,0 +1,152 @@
+"""Full-model DCAE parity against the ACTUAL reference implementation
+(/root/reference/ladcast/models/DCAE.py loaded via the diffusers shim).
+
+Verifies encode (static concat, down stages, out-shortcut), decode
+(in-shortcut, up stages, static strip) and the EfficientViT internals
+(SANA multiscale linear attention incl. the channel-regroup quirk,
+GLUMBConv) end-to-end, with weights imported through the production
+``convert_dcae_state_dict`` converter.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ladcast_tpu.config import DCAEConfig  # noqa: E402
+from ladcast_tpu.models.dcae import AutoencoderDC  # noqa: E402
+from ladcast_tpu.models.weight_import import convert_dcae_state_dict  # noqa: E402
+from tests.oracles.refload import load_reference, state_dict_numpy  # noqa: E402
+
+B, H, W = 2, 16, 24  # deepest stage 4x6 (5x5 multiscale kernel needs >=3 rows)
+DYN, STATIC = 6, 2
+
+
+def _tiny_pair(seed=0):
+    ref_mod = load_reference("ladcast.models.DCAE")
+    torch.manual_seed(seed)
+    common = dict(
+        in_channels=DYN + STATIC,
+        latent_channels=4,
+        attention_head_dim=4,
+        static_channels=STATIC,
+    )
+    ref = ref_mod.AutoencoderDC(
+        out_channels=None,
+        encoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+        decoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+        encoder_block_out_channels=(8, 16, 32),
+        decoder_block_out_channels=(8, 16, 32),
+        encoder_layers_per_block=(1, 1, 1),
+        decoder_layers_per_block=(1, 1, 1),
+        encoder_qkv_multiscales=((), (), (5,)),
+        decoder_qkv_multiscales=((), (), (5,)),
+        decoder_norm_types="rms_norm",
+        decoder_act_fns="silu",
+        **common)
+    ref.eval()
+
+    cfg = DCAEConfig(
+        out_channels=DYN + STATIC,
+        encoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+        decoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+        encoder_block_out_channels=(8, 16, 32),
+        decoder_block_out_channels=(8, 16, 32),
+        encoder_layers_per_block=(1, 1, 1),
+        decoder_layers_per_block=(1, 1, 1),
+        encoder_qkv_multiscales=((), (), (5,)),
+        decoder_qkv_multiscales=((), (), (5,)),
+        decoder_norm_types=("rms_norm",) * 3,
+        decoder_act_fns=("silu",) * 3,
+        **common)
+    model = AutoencoderDC(cfg)
+    return ref, model, cfg
+
+
+def test_full_dcae_parity():
+    ref, model, cfg = _tiny_pair()
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, DYN, H, W).astype(np.float32)
+    static = rng.randn(B, STATIC, H, W).astype(np.float32)
+
+    with torch.no_grad():
+        want_z = ref.encode(
+            torch.from_numpy(x), return_dict=False,
+            static_conditioning_tensor=torch.from_numpy(static))[0].numpy()
+        want_y = ref.decode(torch.from_numpy(want_z),
+                            return_dict=False)[0].numpy()
+        want_full = ref(torch.from_numpy(x), return_dict=False,
+                        static_conditioning_tensor=torch.from_numpy(static),
+                        return_static=True)[0].numpy()
+
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
+    st_j = jnp.asarray(static.transpose(0, 2, 3, 1))
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x_j, st_j))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = jax.tree.map(jnp.asarray,
+                          convert_dcae_state_dict(state_dict_numpy(ref),
+                                                  template))
+
+    got_z = model.apply(params, x_j, st_j, method=AutoencoderDC.encode)
+    np.testing.assert_allclose(np.asarray(got_z).transpose(0, 3, 1, 2),
+                               want_z, atol=1e-4, rtol=1e-4)
+
+    got_y = model.apply(params, got_z, method=AutoencoderDC.decode)
+    np.testing.assert_allclose(np.asarray(got_y).transpose(0, 3, 1, 2),
+                               want_y, atol=1e-4, rtol=1e-4)
+
+    got_full = model.apply(params, x_j, st_j, return_static=True)
+    np.testing.assert_allclose(np.asarray(got_full).transpose(0, 3, 1, 2),
+                               want_full, atol=1e-4, rtol=1e-4)
+
+
+def test_dcae_v2_options_parity():
+    """The v2 (Ray trainer) variant's configurable shortcuts/activation
+    (DCAE_new.py:798-800) against the actual DCAE_new module."""
+    ref_mod = load_reference("ladcast.models.DCAE_new")
+    torch.manual_seed(1)
+    shape_kw = dict(
+        encoder_block_types=("ResBlock", "EfficientViTBlock"),
+        decoder_block_types=("ResBlock", "EfficientViTBlock"),
+        encoder_block_out_channels=(8, 16),
+        decoder_block_out_channels=(8, 16),
+        encoder_layers_per_block=(1, 1),
+        decoder_layers_per_block=(1, 1),
+        encoder_qkv_multiscales=((), (5,)),
+        decoder_qkv_multiscales=((), (5,)),
+        attention_head_dim=4, latent_channels=4)
+    ref = ref_mod.AutoencoderDC(
+        in_channels=DYN + STATIC, out_channels=None,
+        decoder_norm_types="rms_norm", decoder_act_fns="silu",
+        static_channels=STATIC, encoder_out_shortcut=False,
+        decoder_in_shortcut=False, decoder_conv_act_fn="silu", **shape_kw)
+    ref.eval()
+    cfg = DCAEConfig(
+        in_channels=DYN + STATIC, out_channels=DYN + STATIC,
+        decoder_norm_types=("rms_norm",) * 2, decoder_act_fns=("silu",) * 2,
+        static_channels=STATIC, encoder_out_shortcut=False,
+        decoder_in_shortcut=False, decoder_conv_act_fn="silu", **shape_kw)
+    model = AutoencoderDC(cfg)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(B, DYN, H, W).astype(np.float32)
+    static = rng.randn(B, STATIC, H, W).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), return_dict=False,
+                   static_conditioning_tensor=torch.from_numpy(static))[0].numpy()
+
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
+    st_j = jnp.asarray(static.transpose(0, 2, 3, 1))
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x_j, st_j))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = jax.tree.map(jnp.asarray,
+                          convert_dcae_state_dict(state_dict_numpy(ref),
+                                                  template))
+    got = model.apply(params, x_j, st_j)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-4, rtol=1e-4)
