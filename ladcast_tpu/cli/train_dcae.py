@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--val_data", default=None,
+                    help="held-out ERA5 zarr/.npz for validation "
+                         "(train_encdec.py:862-1121)")
+    ap.add_argument("--val_every", type=int, default=None,
+                    help="validation interval in steps (default: "
+                         "general.val_every_steps or 1000)")
     args = ap.parse_args(argv)
 
     cfg = load_yaml(args.config)
@@ -93,7 +99,7 @@ def main(argv=None):
     per_device_bs = train_cfg.get("batch_size", 4)
     global_bs = per_device_bs * len(mesh.devices.ravel())
 
-    def make_batch(ts_chunk):
+    def make_batch(ts_chunk, src=src):
         raw = src.frames_at(ts_chunk)
         x = transforms.normalize(raw, fm, fs)
         nan_mask = np.isnan(
@@ -131,6 +137,73 @@ def main(argv=None):
                       out_shardings=(repl, repl))
 
     logger = MetricLogger(out_dir, config=cfg)
+
+    # ---- validation setup (reference train_encdec.py:862-1121) ----
+    val_src = None
+    if args.val_data:
+        val_src = (NpzFieldSource(args.val_data)
+                   if args.val_data.endswith(".npz")
+                   else ZarrFieldSource(args.val_data))
+        if hasattr(val_src, "fields"):
+            val_ts = np.asarray(val_src.timestamps)
+        else:
+            import pandas as pd
+            val_ts = np.asarray(
+                [int(t.strftime("%Y%m%d%H")) for t in
+                 pd.to_datetime(val_src.ds.time.values)], np.int64)
+        val_every = args.val_every or gen_cfg.get("val_every_steps", 1000)
+        eval_jit = jax.jit(eval_step,
+                           in_shardings=(repl, (bsh, bsh, repl)),
+                           out_shardings=repl)
+        sm, ss = static_data.static_mean_std()
+        # channel stds for unnormalized RMSE: [dynamic 84 | static 5];
+        # unnorm mse = normalized mse * std^2 (mean cancels in the diff).
+        unnorm_std = np.concatenate([fs, ss]).astype(np.float32)
+        names = (__import__("ladcast_tpu.channels", fromlist=["x"])
+                 .channel_names()
+                 + ["land_sea_mask", "oro_1", "oro_2", "oro_3", "oro_4"])
+        best_val_loss = float("inf")
+        best_dir = os.path.join(out_dir, "best")
+        os.makedirs(best_dir, exist_ok=True)
+
+    def run_validation(step):
+        """EMA-weight validation pass: dataset-weighted loss + per-channel
+        unnormalized (lat-weighted) RMSE; best-val params rotation (3)."""
+        nonlocal best_val_loss
+        val_params = state.ema.params if state.ema is not None \
+            else state.params
+        total = {"loss": 0.0, "mse": 0.0, "lw_mse": 0.0}
+        n = 0
+        for i in range(0, len(val_ts) - global_bs + 1, global_bs):
+            vb = make_batch(val_ts[i:i + global_bs], src=val_src)
+            vb = (jax.device_put(vb[0], bsh), jax.device_put(vb[1], bsh),
+                  jax.device_put(vb[2], repl))
+            ev = jax.device_get(eval_jit(val_params, vb))
+            total["loss"] += float(ev["loss"]) * global_bs
+            total["mse"] = total["mse"] + ev["channel_mse"] * global_bs
+            total["lw_mse"] = total["lw_mse"] + ev["channel_lw_mse"] * global_bs
+            n += global_bs
+        if n == 0:
+            return
+        val_loss = total["loss"] / n
+        rmse = np.sqrt(total["mse"] / n) * unnorm_std
+        lw_rmse = np.sqrt(total["lw_mse"] / n) * unnorm_std
+        logs = {"val_loss": val_loss}
+        for c, name in enumerate(names):
+            logs[f"val_rmse_{name}"] = float(rmse[c])
+            logs[f"val_lw_rmse_{name}"] = float(lw_rmse[c])
+        logger.log(logs, step)
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            existing = sorted(
+                (d for d in os.listdir(best_dir) if d.startswith("step-")),
+                key=lambda d: int(d.split("-")[1]))
+            for d in existing[: max(len(existing) - 2, 0)]:  # keep best 3
+                import shutil
+                shutil.rmtree(os.path.join(best_dir, d))
+            ckpt.save_params(os.path.join(best_dir, f"step-{step}"),
+                             jax.device_get(val_params))
+
     key = jax.random.PRNGKey(args.seed)
     step = int(jax.device_get(state.step))
     batch = example
@@ -153,6 +226,9 @@ def main(argv=None):
         if step % gen_cfg.get("checkpointing_steps", 40000) == 0 \
                 or step == num_steps:
             ckpt.save_state(mgr, step, jax.device_get(state))
+        if val_src is not None and (step % val_every == 0
+                                    or step == num_steps):
+            run_validation(step)
     mgr.wait_until_finished()
     logger.close()
 

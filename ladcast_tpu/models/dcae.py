@@ -169,7 +169,14 @@ class SanaMultiscaleLinearAttention(nn.Module):
         # Channel regrouping identical to the reference reshape
         # (B, C, HW) -> (B, G, 3*hd, HW): contiguous 3*hd blocks become
         # (query, key, value) regardless of projection role.
-        full = full.astype(jnp.float32)
+        #
+        # Precision: the reference upcasts the whole qkv tensor to fp32
+        # (DCAE.py:162-175). In fp32 inputs (parity tests) that is exact
+        # either way; in the bf16 production path we keep bf16 einsum
+        # operands with fp32 ACCUMULATION and fp32 normalization, avoiding
+        # two full HBM passes over the (1+n)*3C tensor per block.
+        if full.dtype == jnp.float32:
+            full = full.astype(jnp.float32)
         G = full.shape[-1] // (3 * hd)
         t = full.reshape(B, H * W, G, 3 * hd)
         qg = nn.relu(t[..., :hd])
@@ -180,7 +187,7 @@ class SanaMultiscaleLinearAttention(nn.Module):
         v_pad = jnp.concatenate([vg, ones], axis=-1)  # (B,N,G,hd+1)
         scores = jnp.einsum("bngi,bngj->bgij", v_pad, kg,
                             preferred_element_type=jnp.float32)
-        out = jnp.einsum("bgij,bngj->bngi", scores, qg,
+        out = jnp.einsum("bgij,bngj->bngi", scores.astype(full.dtype), qg,
                          preferred_element_type=jnp.float32)
         out = out[..., :hd] / (out[..., hd:] + self.eps)  # (B,N,G,hd)
         out = out.astype(x.dtype).reshape(B, H, W, G * hd)

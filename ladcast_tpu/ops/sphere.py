@@ -52,12 +52,12 @@ def sphere_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     return x
 
 
-def _conv_nhwc(x, kernel, groups: int = 1):
-    """Valid NHWC/HWIO convolution."""
+def _conv_nhwc(x, kernel, groups: int = 1, padding="VALID"):
+    """NHWC/HWIO convolution (padding fused into the conv HLO)."""
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),
-        padding="VALID",
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
@@ -75,28 +75,73 @@ def sphere_conv2d(
 
     kernel: HWIO, (kh, kw, C_in // groups, C_out); kh, kw odd and equal to
     2*padding + 1 (all reference uses are 3x3/pad 1 or 5x5/pad 2 depthwise).
+
+    Fused-boundary formulation (no materialized padded copy): the main
+    convolution runs directly on ``x`` with zero padding folded into the
+    conv HLO (XLA:TPU handles it natively), and the boundary reads the
+    zero-pad got wrong are patched by four thin strip convolutions:
+
+      * wrap-left / wrap-right -- circular-longitude reads with the
+        normal kernel (flip applies only to pole-row reads), restricted
+        to in-bounds rows via zero H-padding;
+      * pole-top / pole-bottom -- antipodal-row reads with the
+        width-flipped kernel rows (sphere_conv.py:93-110), on the p-row
+        antipodal strips circularly padded in W (covers the corners).
+
+    The strips are O(p*W) / O(p*H) -- negligible next to the main conv --
+    while the old sphere_pad path wrote + re-read a full (H+2p)x(W+2p)
+    copy of the activation per conv (the DCAE decode was HBM-bound on
+    exactly that traffic).
     """
     kh, kw, _, _ = kernel.shape
     if padding is None:
         padding = kh // 2
     p = padding
     assert kh == kw == 2 * p + 1, "sphere_conv2d expects odd kernels with padding=k//2"
+    B, H, W, C = x.shape
+    assert W % 2 == 0, "width (longitude) must be even for antipodal rolling"
+    half = W // 2
 
-    xp = sphere_pad(x, p, p)  # (B, H+2p, W+2p, C)
+    # Main conv: zero-padded SAME, no copy.
+    out = _conv_nhwc(x, kernel, groups, padding=((p, p), (p, p)))
 
-    out = _conv_nhwc(xp, kernel, groups)  # (B, H, W, C_out)
+    # Wrap columns (in-bounds rows only -> zero H padding).
+    # out[:, :, j] for j < p gains sum_{kw < p-j} k[:, kw] * x[:, :, W-p+j+kw].
+    left_fix = _conv_nhwc(x[:, :, W - p:], kernel[:, :p], groups,
+                          padding=((p, p), (0, p - 1)))      # (B, H, p, O)
+    # out[:, :, W-p+j] gains sum_{kw >= 2p-j} k[:, kw] * x[:, :, j+kw-2p].
+    right_fix = _conv_nhwc(x[:, :, :p], kernel[:, p + 1:], groups,
+                           padding=((p, p), (p - 1, 0)))     # (B, H, p, O)
+    out = out.at[:, :, :p].add(left_fix)
+    out = out.at[:, :, W - p:].add(right_fix)
 
-    # Pole corrections: output row 0 should have read pad rows 0..p-1 with
-    # width-flipped kernel rows 0..p-1 (sphere_conv.py:93-110); we already
-    # used the unflipped kernel, so add the difference.
-    delta_top = jnp.flip(kernel[:p], axis=1) - kernel[:p]
-    delta_bot = jnp.flip(kernel[kh - p:], axis=1) - kernel[kh - p:]
-    top_fix = _conv_nhwc(xp[:, :p], delta_top, groups)        # (B, 1, W, C_out)
-    bot_fix = _conv_nhwc(xp[:, -p:], delta_bot, groups)       # (B, 1, W, C_out)
+    # Pole rows: antipodal strips, circularly padded in W. The reference
+    # evaluates output row 0 / H-1 with the width-flipped kernel rows
+    # (sphere_conv.py:93-129) but output rows 1..p-1 (p=2 kernels) read
+    # their pad rows with the NORMAL kernel (they come from the middle
+    # slice of the 3-slice evaluation, :174-192).
+    pad_top = jnp.flip(jnp.roll(x[:, :p], half, axis=2), axis=1)
+    pad_bot = jnp.flip(jnp.roll(x[:, H - p:], half, axis=2), axis=1)
+    pad_top = jnp.concatenate(
+        [pad_top[:, :, W - p:], pad_top, pad_top[:, :, :p]], axis=2)
+    pad_bot = jnp.concatenate(
+        [pad_bot[:, :, W - p:], pad_bot, pad_bot[:, :, :p]], axis=2)
 
-    H = x.shape[1]
-    out = out.at[:, 0:1].add(top_fix)
-    out = out.at[:, H - 1:H].add(bot_fix)
+    # out row 0: sum_{kh<p} flip_w(k)[kh] * pad_top[kh]  (VALID -> 1 row)
+    top0 = _conv_nhwc(pad_top, jnp.flip(kernel[:p], axis=1), groups)
+    out = out.at[:, 0:1].add(top0)
+    # out row H-1: sum_{kh>p} flip_w(k)[kh] * pad_bot[kh-(p+1)]
+    bot0 = _conv_nhwc(pad_bot, jnp.flip(kernel[kh - p:], axis=1), groups)
+    out = out.at[:, H - 1:H].add(bot0)
+    if p > 1:
+        # out rows 1..p-1: sum_{kh < p-h} k[kh] * pad_top[h+kh], normal k.
+        topn = _conv_nhwc(pad_top[:, 1:], kernel[:p - 1], groups,
+                          padding=((0, p - 2), (0, 0)))
+        out = out.at[:, 1:p].add(topn)
+        # out rows H-p..H-2: sum_{kh >= 2p-j} k[kh] * pad_bot[j+kh-2p].
+        botn = _conv_nhwc(pad_bot[:, :p - 1], kernel[p + 1:], groups,
+                          padding=((p - 1, 0), (0, 0)))
+        out = out.at[:, H - p:H - 1].add(botn)
 
     if bias is not None:
         out = out + bias

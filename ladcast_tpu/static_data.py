@@ -103,6 +103,19 @@ def static_conditioning_tensor(
     return stack
 
 
+def static_mean_std(crop_south_pole: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-field mean/std of the 5 static channels over the (cropped) grid
+    (the z-scoring applied by :func:`static_conditioning_tensor`); used to
+    unnormalize static-channel reconstruction metrics
+    (train_encdec.py:975-981)."""
+    lsm, oro = _raw_static_fields()
+    stack = np.concatenate([lsm[None], oro], axis=0).astype(np.float32)
+    if crop_south_pole:
+        stack = stack[:, 1:, :]
+    return (stack.mean(axis=(1, 2)),
+            stack.std(axis=(1, 2), ddof=1))
+
+
 def latent_lat_centers() -> np.ndarray:
     start, stop, num = ch.LATENT_LAT_CENTERS
     return np.linspace(start, stop, num)

@@ -114,7 +114,8 @@ def make_dcae_train_step(
         w = lw if tcfg.lat_weighted_loss else None
         loss = lp_loss(pred, target, w)
         per_var = lp_loss_per_var(pred, target, w)
-        return loss, {"loss": loss, "loss_per_var": per_var}
+        return loss, {"loss": loss, "loss_per_var": per_var,
+                      "_pred": pred, "_target": target, "_lw": lw}
 
     def train_step(state: TrainState, batch, key):
         fields, nan_mask, statics = batch
@@ -128,6 +129,8 @@ def make_dcae_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, fields, nan_mask, statics, roll)
+        for k in ("_pred", "_target", "_lw"):  # eval-only tensors (DCE'd)
+            aux.pop(k)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -142,8 +145,19 @@ def make_dcae_train_step(
         return TrainState(params, opt_state, ema_state, state.step + 1), aux
 
     def eval_step(params, batch):
+        """Validation metrics for one batch (train_encdec.py:899-1022):
+        the training loss plus per-channel MSE and lat-weighted MSE in
+        NORMALIZED units over the 89 output channels (dynamic + static).
+        Unnormalized RMSE per channel = sqrt(mse) * channel_std (the mean
+        cancels in the difference), computed by the caller."""
         fields, nan_mask, statics = batch
         loss, aux = loss_fn(params, fields, nan_mask, statics, None)
+        pred = aux.pop("_pred")
+        target = aux.pop("_target")
+        lw = aux.pop("_lw")
+        se = (pred - target) ** 2                      # (B, H, W, C_out)
+        aux["channel_mse"] = se.mean(axis=(0, 1, 2))
+        aux["channel_lw_mse"] = (se * lw).mean(axis=(0, 1, 2))
         return aux
 
     def init_fn(key, example_batch):
