@@ -31,9 +31,13 @@ def main(argv=None):
     ap.add_argument("--output_csv", required=True)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_samples", type=int, default=None)
+    ap.add_argument("--split", default=None,
+                    help="reference WeatherDataset split to evaluate "
+                         "(e.g. 2018..2022 for the per-year recon CSVs of "
+                         "evaluate_encdec_model.py:69-271)")
     args = ap.parse_args(argv)
 
-    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource, \
+    from ladcast_tpu.cli.pred_rollout import open_field_source, \
         _load_any_params
 
     cfg = DCAEConfig()
@@ -65,14 +69,8 @@ def main(argv=None):
     def recon_metrics(raw):
         return _recon_metrics(params, raw)
 
-    src = (NpzFieldSource(args.data) if args.data.endswith(".npz")
-           else ZarrFieldSource(args.data))
-    if hasattr(src, "fields"):
-        ts_all = list(src.timestamps)
-    else:
-        import pandas as pd
-        ts_all = [int(t.strftime("%Y%m%d%H"))
-                  for t in pd.to_datetime(src.ds.time.values)]
+    src, ts_all = open_field_source(args.data, split=args.split)
+    ts_all = list(ts_all)
     if args.max_samples:
         ts_all = ts_all[: args.max_samples]
 

@@ -81,10 +81,20 @@ def main(argv=None):
     ap.add_argument("--truth", required=True, help="ERA5 zarr or .npz")
     ap.add_argument("--climatology", default=None,
                     help=".npz with clim (dayofyear, hour, lat, lon, C)")
+    ap.add_argument("--allow_truth_mean_climatology", action="store_true",
+                    help="without --climatology, substitute the time-mean "
+                         "of the truth window as climatology for ACC. This "
+                         "is NOT a real climatology (the reference requires "
+                         "a WB2 one); ACC values are then only indicative.")
     ap.add_argument("--dcae_params", required=True)
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--step_size_hour", type=int, default=6)
     args = ap.parse_args(argv)
+
+    if args.climatology is None and not args.allow_truth_mean_climatology:
+        ap.error("--climatology is required for ACC (or pass "
+                 "--allow_truth_mean_climatology to accept an indicative "
+                 "truth-window-mean substitute)")
 
     from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource, \
         _load_any_params
@@ -131,23 +141,52 @@ def main(argv=None):
         acc_metrics.append({k: np.asarray(v) for k, v in m.items()})
         print(json.dumps({"init_time": ts, "scored": True}), flush=True)
 
+    # per-process shard files, then host-0 merges -- the reference gathers
+    # metric tensors to the main process before saving
+    # (evaluate_ens_gpu.py:448-468); plain gather can't be used here
+    # because processes may skip different numbers of init times.
+    from ladcast_tpu.parallel import dist
+
     os.makedirs(args.output_dir, exist_ok=True)
+    rank = dist.process_index()
     for k in ("ens_mean_mse", "crps", "acc"):
-        stacked = np.stack([m[k] for m in acc_metrics])  # (N, C, T)
-        np.save(os.path.join(args.output_dir, f"{k}.npy"), stacked)
+        stacked = (np.stack([m[k] for m in acc_metrics]) if acc_metrics
+                   else np.zeros((0, 1, 1), np.float32))  # (N, C, T)
+        np.save(os.path.join(args.output_dir, f"{k}.rank{rank}.npy"),
+                stacked)
+    dist.barrier("scorer-shards-written")
+    if rank != 0:
+        return
+
+    merged = {}
+    for k in ("ens_mean_mse", "crps", "acc"):
+        parts = [np.load(os.path.join(args.output_dir,
+                                      f"{k}.rank{r}.npy"))
+                 for r in range(dist.process_count())]
+        parts = [p for p in parts if p.shape[0] > 0]
+        merged[k] = np.concatenate(parts) if parts \
+            else np.zeros((0, 1, 1), np.float32)
+        np.save(os.path.join(args.output_dir, f"{k}.npy"), merged[k])
 
     # Human-readable summary table: per-variable ens-mean RMSE/CRPS at
-    # day 1/5/10 (the headline figure layout, assets/2018_rmse.png).
-    mse = np.stack([m["ens_mean_mse"] for m in acc_metrics]).mean(0)
-    crps = np.stack([m["crps"] for m in acc_metrics]).mean(0)
+    # day 1/5/10 (the headline figure layout, assets/2018_rmse.png;
+    # variables/levels follow BASELINE.md's digitized tables).
+    mse = merged["ens_mean_mse"].mean(0)
+    crps = merged["crps"].mean(0)
     T = mse.shape[1]
-    leads = {f"day{d}": min(d * 24 // args.step_size_hour - 1, T - 1)
-             for d in (1, 5, 10) if d * 24 // args.step_size_hour - 1 < T
-             or d == 1}
-    headline = [("geopotential", 500), ("temperature", 850),
+    leads = {}
+    for d in (1, 5, 10):
+        t = d * 24 // args.step_size_hour - 1
+        if t < T:
+            leads[f"day{d}"] = t
+    if not leads:  # short rollout: report the final lead time
+        leads["final"] = T - 1
+    headline = [("geopotential", 500), ("geopotential", 850),
+                ("temperature", 500), ("temperature", 850),
+                ("u_component_of_wind", 500), ("u_component_of_wind", 850),
+                ("specific_humidity", 500), ("specific_humidity", 850),
                 ("mean_sea_level_pressure", None),
-                ("2m_temperature", None), ("10m_u_component_of_wind", None),
-                ("specific_humidity", 700)]
+                ("2m_temperature", None)]
     summary = {}
     for var, level in headline:
         try:
@@ -161,7 +200,7 @@ def main(argv=None):
             for k, t in leads.items()}
     with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps({"num_init_times": len(acc_metrics),
+    print(json.dumps({"num_init_times": int(merged["crps"].shape[0]),
                       "saved": args.output_dir,
                       "summary": summary}))
 

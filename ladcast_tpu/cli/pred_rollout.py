@@ -63,20 +63,47 @@ class ZarrFieldSource:
         self._pd = pd
 
     def frames_at(self, ts_ints):
-        frames = []
-        for t in ts_ints:
-            dt = time_utils.int_to_datetime(int(t))
-            sel = self.ds.sel(time=np.datetime64(dt))
-            stack = []
-            for var in ch.ATM_VARIABLES:
-                v = sel[var].sel(level=list(ch.PRESSURE_LEVELS)) \
-                    .transpose("level", "latitude", "longitude").values
-                stack.append(v)
-            for var in ch.SURFACE_VARIABLES:
-                stack.append(sel[var].transpose(
-                    "latitude", "longitude").values[None])
-            frames.append(np.moveaxis(np.concatenate(stack, 0), 0, -1))
-        return np.asarray(frames, np.float32)
+        # ONE batched .sel per call (a per-timestamp/per-variable loop
+        # issues T x 19 tiny zarr round trips -- hopeless against the
+        # 3 TB archive; a batched select reads each chunk once).
+        times = np.asarray([
+            np.datetime64(time_utils.int_to_datetime(int(t)))
+            for t in ts_ints])
+        sel = self.ds.sel(time=times)
+        stack = []
+        for var in ch.ATM_VARIABLES:
+            v = sel[var].sel(level=list(ch.PRESSURE_LEVELS)).transpose(
+                "time", "level", "latitude", "longitude").values
+            stack.append(v)
+        for var in ch.SURFACE_VARIABLES:
+            stack.append(sel[var].transpose(
+                "time", "latitude", "longitude").values[:, None])
+        return np.moveaxis(np.concatenate(stack, 1), 1, -1) \
+            .astype(np.float32)
+
+
+def open_field_source(path: str, split: str = None):
+    """Open an ERA5 field source: ``.npz`` bundle, zarr store, or a
+    directory of monthly tars (reference webdataset layout). Returns
+    (source, timestamps int64); ``split`` filters to the reference
+    WeatherDataset year ranges (train 1979-2017 / validation 2018 /
+    test 2022 / full / per-year -- weather_dataset.py:14-48)."""
+    from ladcast_tpu.data import era5_tar
+
+    if path.endswith(".npz"):
+        src = NpzFieldSource(path)
+        ts = np.asarray(src.timestamps, np.int64)
+    elif os.path.isdir(path):
+        src = era5_tar.TarFieldSource(path)
+        return src, era5_tar.available_timestamps(path, split or "full")
+    else:
+        import pandas as pd
+        src = ZarrFieldSource(path)
+        ts = np.asarray([int(t.strftime("%Y%m%d%H")) for t in
+                         pd.to_datetime(src.ds.time.values)], np.int64)
+    if split:
+        ts = era5_tar.split_timestamps(ts, split)
+    return src, ts
 
 
 def main(argv=None):

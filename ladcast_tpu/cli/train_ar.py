@@ -35,6 +35,7 @@ from ladcast_tpu.data.latent_dataset import (
     batch_iterator,
     open_zarr_latent_source,
 )
+from ladcast_tpu.parallel import dist
 from ladcast_tpu.parallel.mesh import make_mesh
 from ladcast_tpu.train import checkpoint as ckpt
 from ladcast_tpu.train.optim import make_optimizer
@@ -44,10 +45,36 @@ from ladcast_tpu.utils.registry import load_yaml
 
 
 def load_latent_source(path: str, start_date=None, end_date=None,
-                       load_in_memory=True):
+                       load_in_memory=True, reader: str = "auto"):
+    """Open a latent source.
+
+    * ``.npz`` file -> in-memory ArrayLatentSource
+    * directory of ``.npy`` shards + ``timestamps.npy`` -> the C++
+      threaded-pread NpyShardSource when ``reader`` is ``native``/``auto``
+      (falls back to numpy mmap if the toolchain is unavailable)
+    * anything else -> zarr via xarray (reference storage layout)
+    """
     if path.endswith(".npz"):
         d = np.load(path)
         return ArrayLatentSource(d["latents"], d["timestamps"])
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "timestamps.npy")):
+        ts = np.load(os.path.join(path, "timestamps.npy"))
+        shards = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".npy") and f != "timestamps.npy")
+        if reader in ("native", "auto"):
+            try:
+                from ladcast_tpu.data.native_reader import NpyShardSource
+                return NpyShardSource(shards, ts)
+            except Exception as e:
+                if reader == "native":
+                    raise
+                print(f"native reader unavailable ({e}); "
+                      "falling back to numpy mmap")
+        arrs = [np.load(s, mmap_mode="r") for s in shards]
+        arr = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+        return ArrayLatentSource(arr, ts)
     return open_zarr_latent_source(path, start_date=start_date,
                                    end_date=end_date,
                                    load_in_memory=load_in_memory)
@@ -66,6 +93,11 @@ def main(argv=None):
                     help="held-out latent source for ensemble validation")
     ap.add_argument("--val_every", type=int, default=0,
                     help="run ensemble validation every N steps (0=off)")
+    ap.add_argument("--reader", default="auto",
+                    choices=["auto", "native", "mmap"],
+                    help="latent source backend for shard directories "
+                         "(native = C++ threaded pread pool; mmap = "
+                         "numpy mmap; auto = native with mmap fallback)")
     ap.add_argument("--val_ensemble_size", type=int, default=10)
     ap.add_argument("--val_num_init_times", type=int, default=4)
     ap.add_argument("--seed", type=int, default=42)
@@ -113,7 +145,8 @@ def main(argv=None):
     source = load_latent_source(
         args.latents or dl_cfg.get("ds_path"),
         start_date=dl_cfg.get("start_date"), end_date=dl_cfg.get("end_date"),
-        load_in_memory=dl_cfg.get("load_in_memory", True))
+        load_in_memory=dl_cfg.get("load_in_memory", True),
+        reader=args.reader)
     wcfg = ARWindowConfig(
         input_seq_len=dl_cfg.get("input_seq_len", 1),
         return_seq_len=dl_cfg.get("return_seq_len", 4),
@@ -128,11 +161,16 @@ def main(argv=None):
     per_device_bs = dl_cfg.get("batch_size", 4)
     global_bs = per_device_bs * len(mesh.devices.ravel())
 
+    # per-host input feed: every process computes the same shuffled order
+    # (shared seed) and reads only its contiguous slice of each global
+    # batch; make_global_batch assembles the sharded global array
+    # (SURVEY.md section 2.2 "Dataloader sharding").
+    local_slice = dist.host_local_slice(global_bs)
     it = batch_iterator(dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
                         seed=args.seed,
-                        num_push_forward_steps=tcfg.num_push_forward_steps)
+                        num_push_forward_steps=tcfg.num_push_forward_steps,
+                        batch_slice=local_slice)
     example = next(it)
-    example = jax.tree.map(jnp.asarray, example)
 
     state = init_fn(jax.random.PRNGKey(args.seed), example)
     mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"),
@@ -199,7 +237,13 @@ def main(argv=None):
                         "val_latent_crps": float(m["latent_crps"].mean())},
                        step)
 
-    key = jax.random.PRNGKey(args.seed + jax.process_index())
+    # NOTE: the step key must be IDENTICAL on every process -- it is a
+    # replicated input to one global SPMD computation; per-example noise
+    # decorrelation happens inside the jitted step (batch-shaped
+    # jax.random calls are sharded with the batch). The reference's
+    # per-process generators (train_AR.py:627-629) decorrelate host-local
+    # computations, which is the opposite regime.
+    key = jax.random.PRNGKey(args.seed)
     ckpt_every = gen_cfg.get("checkpointing_steps", 50000)
     t0 = time.time()
     step = start_step
@@ -209,9 +253,10 @@ def main(argv=None):
             it = batch_iterator(
                 dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
                 seed=args.seed + step,
-                num_push_forward_steps=tcfg.num_push_forward_steps)
+                num_push_forward_steps=tcfg.num_push_forward_steps,
+                batch_slice=local_slice)
             batch = next(it)
-        batch = jax.device_put(jax.tree.map(jnp.asarray, batch), bsh)
+        batch = dist.make_global_batch(batch, bsh)
         key, sub = jax.random.split(key)
         state, aux = step_fn(state, batch, sub)
         step += 1

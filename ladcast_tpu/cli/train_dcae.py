@@ -26,6 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ladcast_tpu import static_data
 from ladcast_tpu.config import DCAEConfig, config_from_dict
 from ladcast_tpu.data import transforms
+from ladcast_tpu.parallel import dist
 from ladcast_tpu.parallel.mesh import make_mesh
 from ladcast_tpu.train import checkpoint as ckpt
 from ladcast_tpu.train.optim import make_optimizer
@@ -48,6 +49,16 @@ def main(argv=None):
     ap.add_argument("--val_every", type=int, default=None,
                     help="validation interval in steps (default: "
                          "general.val_every_steps or 1000)")
+    ap.add_argument("--split", default=None,
+                    help="reference WeatherDataset split of --data "
+                         "(train/validation/test/full/<year>; "
+                         "weather_dataset.py:14-48). Default: train for "
+                         "tar directories, all timestamps otherwise.")
+    ap.add_argument("--val_split", default="validation",
+                    help="split of the validation source; with no "
+                         "--val_data this selects the split from --data "
+                         "itself (the reference trains on 1979-2017 and "
+                         "validates on 2018 of the same archive)")
     args = ap.parse_args(argv)
 
     cfg = load_yaml(args.config)
@@ -79,16 +90,10 @@ def main(argv=None):
     init_fn, train_step, eval_step = make_dcae_train_step(
         dcae_cfg, tcfg, optimizer)
 
-    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource
+    from ladcast_tpu.cli.pred_rollout import open_field_source
 
-    src = (NpzFieldSource(args.data) if args.data.endswith(".npz")
-           else ZarrFieldSource(args.data))
-    if hasattr(src, "fields"):
-        all_ts = np.asarray(src.timestamps)
-    else:
-        import pandas as pd
-        all_ts = np.asarray([int(t.strftime("%Y%m%d%H")) for t in
-                             pd.to_datetime(src.ds.time.values)], np.int64)
+    split = args.split or ("train" if os.path.isdir(args.data) else None)
+    src, all_ts = open_field_source(args.data, split=split)
 
     fm, fs = static_data.era5_mean_std()
     statics = jnp.asarray(static_data.static_conditioning_tensor(layout="HWC"))
@@ -99,14 +104,19 @@ def main(argv=None):
     per_device_bs = train_cfg.get("batch_size", 4)
     global_bs = per_device_bs * len(mesh.devices.ravel())
 
+    # per-host feed: every process draws the same global timestamp chunk
+    # (shared seed) and reads only its contiguous slice of it
+    # (SURVEY.md section 2.2 "Dataloader sharding").
+    local_slice = dist.host_local_slice(global_bs)
+
     def make_batch(ts_chunk, src=src):
-        raw = src.frames_at(ts_chunk)
+        raw = src.frames_at(np.asarray(ts_chunk)[local_slice])
         x = transforms.normalize(raw, fm, fs)
         nan_mask = np.isnan(
             x[..., __import__("ladcast_tpu.channels", fromlist=["x"])
               .SST_CHANNEL_INDEX])
         x = np.where(np.isnan(x), -2.0, x).astype(np.float32)
-        return (jnp.asarray(x), jnp.asarray(nan_mask), statics)
+        return (x, nan_mask, statics)
 
     rng = np.random.RandomState(args.seed)
     example = make_batch(rng.choice(all_ts, global_bs, replace=False))
@@ -138,19 +148,21 @@ def main(argv=None):
 
     logger = MetricLogger(out_dir, config=cfg)
 
-    # ---- validation setup (reference train_encdec.py:862-1121) ----
+    # ---- validation setup (reference train_encdec.py:862-1121); with no
+    # separate --val_data, the val split of the SAME archive is used
+    # (train 1979-2017 / validation 2018, weather_dataset.py:14-23) ----
     val_src = None
     if args.val_data:
-        val_src = (NpzFieldSource(args.val_data)
-                   if args.val_data.endswith(".npz")
-                   else ZarrFieldSource(args.val_data))
-        if hasattr(val_src, "fields"):
-            val_ts = np.asarray(val_src.timestamps)
-        else:
-            import pandas as pd
-            val_ts = np.asarray(
-                [int(t.strftime("%Y%m%d%H")) for t in
-                 pd.to_datetime(val_src.ds.time.values)], np.int64)
+        val_src, val_ts = open_field_source(args.val_data,
+                                            split=args.val_split)
+    elif args.val_split and os.path.isdir(args.data):
+        val_src = src
+        val_ts = __import__(
+            "ladcast_tpu.data.era5_tar",
+            fromlist=["x"]).available_timestamps(args.data, args.val_split)
+        if len(val_ts) == 0:
+            val_src = None
+    if val_src is not None:
         val_every = args.val_every or gen_cfg.get("val_every_steps", 1000)
         eval_jit = jax.jit(eval_step,
                            in_shardings=(repl, (bsh, bsh, repl)),
@@ -175,9 +187,9 @@ def main(argv=None):
         total = {"loss": 0.0, "mse": 0.0, "lw_mse": 0.0}
         n = 0
         for i in range(0, len(val_ts) - global_bs + 1, global_bs):
-            vb = make_batch(val_ts[i:i + global_bs], src=val_src)
-            vb = (jax.device_put(vb[0], bsh), jax.device_put(vb[1], bsh),
-                  jax.device_put(vb[2], repl))
+            vb = dist.make_global_batch(
+                make_batch(val_ts[i:i + global_bs], src=val_src),
+                (bsh, bsh, repl))
             ev = jax.device_get(eval_jit(val_params, vb))
             total["loss"] += float(ev["loss"]) * global_bs
             total["mse"] = total["mse"] + ev["channel_mse"] * global_bs
@@ -195,25 +207,30 @@ def main(argv=None):
         logger.log(logs, step)
         if val_loss < best_val_loss:
             best_val_loss = val_loss
-            existing = sorted(
-                (d for d in os.listdir(best_dir) if d.startswith("step-")),
-                key=lambda d: int(d.split("-")[1]))
-            for d in existing[: max(len(existing) - 2, 0)]:  # keep best 3
-                import shutil
-                shutil.rmtree(os.path.join(best_dir, d))
-            ckpt.save_params(os.path.join(best_dir, f"step-{step}"),
-                             jax.device_get(val_params))
+            if dist.process_index() == 0:  # host-0 writes (shared fs safe)
+                existing = sorted(
+                    (d for d in os.listdir(best_dir)
+                     if d.startswith("step-")),
+                    key=lambda d: int(d.split("-")[1]))
+                for d in existing[: max(len(existing) - 2, 0)]:  # keep best 3
+                    import shutil
+                    shutil.rmtree(os.path.join(best_dir, d))
+                ckpt.save_params(os.path.join(best_dir, f"step-{step}"),
+                                 jax.device_get(val_params))
+            dist.barrier("best-val-ckpt")
 
+    # the step key must be identical on every process (replicated input to
+    # one global SPMD computation); see cli/train_ar.py.
     key = jax.random.PRNGKey(args.seed)
     step = int(jax.device_get(state.step))
-    batch = example
+    batch = dist.make_global_batch(example, (bsh, bsh, repl))
     t0 = time.time()
     while step < num_steps:
         # subbatch reuse: a fresh batch every `subbatch_steps` steps
         if step % tcfg.subbatch_steps == 0 and step > 0:
-            batch = make_batch(rng.choice(all_ts, global_bs, replace=False))
-        batch = (jax.device_put(batch[0], bsh), jax.device_put(batch[1], bsh),
-                 jax.device_put(batch[2], repl))
+            batch = dist.make_global_batch(
+                make_batch(rng.choice(all_ts, global_bs, replace=False)),
+                (bsh, bsh, repl))
         key, sub = jax.random.split(key)
         state, aux = step_fn(state, batch, sub)
         step += 1

@@ -37,6 +37,69 @@ def _tar_name(dt: datetime) -> str:
     return f"{dt.year}_{dt.month:02d}.tar"
 
 
+# ---------------------------------------------------------------------------
+# Split semantics (reference dataloader/weather_dataset.py:14-48): the HF
+# WeatherDataset builder's year-range splits over the monthly tar archive.
+# ---------------------------------------------------------------------------
+
+TRAIN_YEARS: Tuple[int, int] = (1979, 2017)
+VAL_YEARS: Tuple[int, int] = (2018, 2018)
+TEST_YEARS: Tuple[int, int] = (2022, 2022)
+FULL_YEARS: Tuple[int, int] = (1979, 2022)
+
+_SPLIT_RANGES = {
+    "train": TRAIN_YEARS,
+    "validation": VAL_YEARS,
+    "test": TEST_YEARS,
+    "full": FULL_YEARS,
+}
+
+
+def split_year_range(split: str) -> Tuple[int, int]:
+    """(start_year, end_year) of a named split; per-year splits
+    ("2018".."2022") select that single year (weather_dataset.py:43-47)."""
+    if split in _SPLIT_RANGES:
+        return _SPLIT_RANGES[split]
+    year = int(split)
+    assert 1979 <= year <= 2100, split
+    return (year, year)
+
+
+def split_tar_files(tar_dir: str, split: str) -> list:
+    """Existing monthly tar paths of a split, in (year, month) order
+    (weather_dataset.py:26-48: missing months are silently skipped)."""
+    start, end = split_year_range(split)
+    files = []
+    for year in range(start, end + 1):
+        for month in range(1, 13):
+            p = os.path.join(tar_dir, f"{year}_{month:02d}.tar")
+            if os.path.exists(p):
+                files.append(p)
+    return files
+
+
+def split_timestamps(timestamps: Sequence[int], split: str) -> np.ndarray:
+    """Filter YYYYMMDDHH ints to a split's year range (the same selection
+    the tar splits express, usable for zarr/npz sources)."""
+    ts = np.asarray(timestamps, np.int64)
+    start, end = split_year_range(split)
+    years = ts // 10**6
+    return ts[(years >= start) & (years <= end)]
+
+
+def available_timestamps(tar_dir: str, split: str = "full") -> np.ndarray:
+    """All member timestamps present in a split's tars, in archive order
+    (the HF generator's iteration order, weather_dataset.py:172-200)."""
+    out = []
+    for path in split_tar_files(tar_dir, split):
+        with tarfile.open(path, "r") as t:
+            for m in t.getmembers():
+                if m.name.endswith(".npy"):
+                    out.append(time_utils.timestamp_str_to_int(
+                        m.name[:-len(".npy")]))
+    return np.asarray(out, np.int64)
+
+
 def read_tar_range(
     tar_dir: str,
     start_ts: int,

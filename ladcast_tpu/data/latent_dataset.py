@@ -134,6 +134,19 @@ class ARLatentDataset:
         ts = self.source.timestamp(int(in_idx[0]))
         return inp, out, ts
 
+    def prefetch(self, item_idxs) -> None:
+        """Hint the source to read ahead the frames of the given items
+        (native shard reader readahead; no-op for in-memory sources)."""
+        pf = getattr(self.source, "prefetch", None)
+        if pf is None:
+            return
+        frames = []
+        for i in item_idxs:
+            in_idx, out_idx = self._window_idx(int(i))
+            frames.extend(in_idx.tolist())
+            frames.extend(out_idx.tolist())
+        pf(np.unique(np.asarray(frames, np.int64)))
+
 
 def batch_iterator(
     dataset: ARLatentDataset,
@@ -144,10 +157,15 @@ def batch_iterator(
     num_push_forward_steps: int = 1,
     drop_last: bool = True,
     prefetch: int = 2,
+    batch_slice: Optional[slice] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (initial_profile, clean, year_progress) numpy batches, with
     year_progress shaped (B, num_push_forward_steps) -- progress of
-    t0 + 6h*s for each push-forward chunk s (see trainer_ar)."""
+    t0 + 6h*s for each push-forward chunk s (see trainer_ar).
+
+    ``batch_slice`` restricts each batch to the given slice of the (seeded,
+    hence identical across processes) global order -- the per-host shard of
+    a multi-host global batch (parallel.dist.host_local_slice)."""
 
     def produce(q: queue_mod.Queue, epoch_seed: int):
         rng = np.random.RandomState(epoch_seed)
@@ -157,6 +175,13 @@ def batch_iterator(
             else len(order)
         for s in range(0, n, batch_size):
             idxs = order[s:s + batch_size]
+            if batch_slice is not None:
+                idxs = idxs[batch_slice]
+            pf = getattr(dataset, "prefetch", None)
+            if pf is not None and s + batch_size < n:
+                # readahead of the NEXT batch's frames
+                nxt = order[s + batch_size:s + 2 * batch_size]
+                pf(nxt if batch_slice is None else nxt[batch_slice])
             inps, outs, yps = [], [], []
             for i in idxs:
                 inp, out, ts = dataset[int(i)]

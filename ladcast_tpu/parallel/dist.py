@@ -59,6 +59,51 @@ def all_gather_arrays(x: np.ndarray, axis: int = 0) -> np.ndarray:
     return np.moveaxis(gathered, 0, axis)
 
 
+def host_local_slice(global_batch_size: int) -> slice:
+    """The contiguous slice of a deterministic global batch order that this
+    process is responsible for reading (every process computes the same
+    shuffled order from the same seed; each reads only its slice)."""
+    per = global_batch_size // jax.process_count()
+    assert per * jax.process_count() == global_batch_size, \
+        (global_batch_size, jax.process_count())
+    return slice(jax.process_index() * per, (jax.process_index() + 1) * per)
+
+
+def make_global_batch(batch, sharding):
+    """Form a global device array from per-process host-local data.
+
+    The reference scatters main-process batches via Accelerate
+    ``dispatch_batches`` (train_encdec.py:171-173); here each host reads
+    only its own shard and ``jax.make_array_from_process_local_data``
+    assembles the global array (SURVEY.md section 2.2 "Dataloader
+    sharding"). Single-process: plain device_put (identical semantics).
+
+    ``batch`` is a pytree of numpy/jax arrays whose leading axis (for
+    sharded leaves) is the *per-process* batch; ``sharding`` is a matching
+    pytree of NamedSharding (or a single sharding applied to all leaves).
+    Replicated leaves (PartitionSpec ()) must be identical across hosts.
+    """
+    single = hasattr(sharding, "spec")
+    if jax.process_count() == 1:
+        if single:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s), batch, sharding)
+
+    def place(x, s):
+        import numpy as _np
+        x = _np.asarray(x)
+        if not s.spec or all(p is None for p in s.spec):
+            # replicated leaf: every host holds the full value
+            return jax.make_array_from_process_local_data(s, x, x.shape)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, global_shape)
+
+    if single:
+        return jax.tree.map(lambda x: place(x, sharding), batch)
+    return jax.tree.map(place, batch, sharding)
+
+
 def shard_list(items: List[Any]) -> List[Any]:
     """Strided split of host-side work items across processes (the
     reference's accelerate.split_between_processes; strided assignment

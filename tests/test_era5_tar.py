@@ -50,3 +50,66 @@ def test_preprocess_batch_sst_mask():
     assert mask[0, 1, 2] and mask.sum() == 1
     assert out[0, 1, 2, 1] == -2.0
     assert np.isfinite(out).all()
+
+
+def test_split_year_arithmetic():
+    """Golden test of the reference WeatherDataset split boundaries
+    (weather_dataset.py:14-23, 26-48)."""
+    from ladcast_tpu.data.era5_tar import split_timestamps, split_year_range
+
+    assert split_year_range("train") == (1979, 2017)
+    assert split_year_range("validation") == (2018, 2018)
+    assert split_year_range("test") == (2022, 2022)
+    assert split_year_range("full") == (1979, 2022)
+    assert split_year_range("2020") == (2020, 2020)
+
+    ts = np.asarray([1978123123, 1979010100, 2017123123, 2018010100,
+                     2018123123, 2019010100, 2021123123, 2022010100,
+                     2022123123, 2023010100], np.int64)
+    assert list(split_timestamps(ts, "train")) == [1979010100, 2017123123]
+    assert list(split_timestamps(ts, "validation")) == [2018010100,
+                                                        2018123123]
+    assert list(split_timestamps(ts, "test")) == [2022010100, 2022123123]
+    assert list(split_timestamps(ts, "full")) == list(ts[1:-1])
+    assert list(split_timestamps(ts, "2019")) == [2019010100]
+
+
+def test_split_tar_files_and_available_timestamps(tmp_path):
+    """split_tar_files skips missing months silently (the reference checks
+    os.path.exists per month); available_timestamps walks archive order."""
+    from ladcast_tpu.data import time_utils
+    from ladcast_tpu.data.era5_tar import (
+        available_timestamps,
+        split_tar_files,
+        write_tar_archive,
+    )
+
+    class _TinySource:
+        def __init__(self, ts):
+            self.ts = list(ts)
+
+        def frames_at(self, ts_ints):
+            return np.full((len(ts_ints), 2, 3, 1),
+                           float(int(ts_ints[0]) % 97), np.float32)
+
+    d = str(tmp_path / "tars")
+    ts = ([time_utils.add_hours_int(2017120100, 6 * k) for k in range(3)]
+          + [time_utils.add_hours_int(2018030100, 6 * k) for k in range(2)]
+          + [2022010112])
+    write_tar_archive(_TinySource(ts), ts, d)
+
+    import os
+    assert sorted(os.listdir(d)) == ["2017_12.tar", "2018_03.tar",
+                                     "2022_01.tar"]
+    assert [os.path.basename(p) for p in split_tar_files(d, "train")] == \
+        ["2017_12.tar"]
+    assert [os.path.basename(p) for p in split_tar_files(d, "validation")] \
+        == ["2018_03.tar"]
+    assert [os.path.basename(p) for p in split_tar_files(d, "test")] == \
+        ["2022_01.tar"]
+    assert len(split_tar_files(d, "full")) == 3
+
+    np.testing.assert_array_equal(available_timestamps(d, "train"), ts[:3])
+    np.testing.assert_array_equal(available_timestamps(d, "validation"),
+                                  ts[3:5])
+    np.testing.assert_array_equal(available_timestamps(d, "full"), ts)

@@ -59,6 +59,42 @@ def test_reader_with_ar_dataset(shards):
     src.close()
 
 
+def test_cli_shard_dir_loading(shards, tmp_path):
+    """cli/train_ar.load_latent_source opens a shard directory through the
+    native reader (--reader native/auto) and the batch iterator drives the
+    prefetch readahead path."""
+    from ladcast_tpu.cli.train_ar import load_latent_source
+    from ladcast_tpu.data.latent_dataset import (
+        ARLatentDataset, ARWindowConfig, batch_iterator)
+
+    paths, full, ts = shards
+    d = tmp_path / "latents"
+    d.mkdir()
+    for i, p in enumerate(paths):
+        shutil.copy(p, d / f"shard{i}.npy")
+    np.save(d / "timestamps.npy", np.asarray(ts, np.int64))
+
+    src = load_latent_source(os.fspath(d), reader="native")
+    assert type(src).__name__ == "NpyShardSource"
+    np.testing.assert_array_equal(src.frames(np.asarray([2, 9])),
+                                  full[[2, 9]])
+
+    calls = []
+    orig = src.prefetch
+    src.prefetch = lambda idx: (calls.append(np.asarray(idx)), orig(idx))
+    ds = ARLatentDataset(src, ARWindowConfig(1, 2, 1, 1))
+    it = batch_iterator(ds, 4, shuffle=False, drop_last=True)
+    batches = list(it)
+    assert len(batches) == 2 and batches[0][0].shape[0] == 4
+    assert calls and all(c.dtype == np.int64 for c in calls)
+    src.close()
+
+    # mmap fallback yields the same data
+    src2 = load_latent_source(os.fspath(d), reader="mmap")
+    np.testing.assert_array_equal(src2.frames(np.asarray([2, 9])),
+                                  full[[2, 9]])
+
+
 def test_header_parser(shards):
     from ladcast_tpu.data.native_reader import parse_npy_header
 
