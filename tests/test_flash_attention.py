@@ -78,15 +78,68 @@ def test_fused_backward_matches_composite_grad():
     cos = jnp.ones((S, D)); sin = jnp.zeros((S, D)); w = jnp.ones((S, D))
 
     def loss_fused(q):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fa.fused_norm_rope_attention(
-                q, k, v, cos, sin, w, cos, sin, w, 1e-7) ** 2)
+        return jnp.sum(fa.fused_norm_rope_attention(
+            q, k, v, cos, sin, w, cos, sin, w, 1e-7) ** 2)
 
     def loss_ref(q):
         return jnp.sum(fa.xla_norm_rope_attention(
             q, k, v, cos, sin, w, cos, sin, w, 1e-7) ** 2)
 
-    g1 = jax.grad(loss_fused)(q)
+    fa.BWD_MODE = "pallas"  # exercise the flash backward kernels
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_fused)(q)
+    finally:
+        fa.BWD_MODE = "auto"
     g2 = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_fused_backward_all_grads_with_segments():
+    """Pallas flash backward vs the XLA composite VJP for ALL
+    differentiable inputs (q/k/v and the norm-weight tables), with a
+    rotated + un-rotated segment layout (the dual-stream case) and
+    sequence lengths that exercise block padding."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ladcast_tpu.ops import rope as rope_ops
+    from ladcast_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.RandomState(3)
+    B, Sq, Sk, H, D = 2, 200, 170, 2, 128
+    q = jnp.asarray(rng.randn(B, Sq, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, Sk, H, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, Sk, H, D).astype(np.float32))
+
+    cos_q, sin_q = rope_ops.rotary_tables_1d(D, np.arange(Sq - 30), 256.0)
+    cos_k, sin_k = rope_ops.rotary_tables_1d(D, np.arange(Sk - 30), 256.0)
+    qcos = jnp.asarray(np.concatenate(
+        [cos_q, np.ones((30, D), np.float32)]))
+    qsin = jnp.asarray(np.concatenate(
+        [sin_q, np.zeros((30, D), np.float32)]))
+    kcos = jnp.asarray(np.concatenate(
+        [cos_k, np.ones((30, D), np.float32)]))
+    ksin = jnp.asarray(np.concatenate(
+        [sin_k, np.zeros((30, D), np.float32)]))
+    qw = jnp.asarray(np.broadcast_to(
+        rng.rand(D).astype(np.float32) + 0.5, (Sq, D)).copy())
+    kw = jnp.asarray(np.broadcast_to(
+        rng.rand(D).astype(np.float32) + 0.5, (Sk, D)).copy())
+
+    def loss(fn, q, k, v, qw, kw):
+        out = fn(q, k, v, qcos, qsin, qw, kcos, ksin, kw, 1e-7)
+        return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+
+    fa.BWD_MODE = "pallas"  # exercise the flash backward kernels
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(
+                lambda *a: loss(fa.fused_norm_rope_attention, *a),
+                argnums=(0, 1, 2, 3, 4))(q, k, v, qw, kw)
+    finally:
+        fa.BWD_MODE = "auto"
+    g2 = jax.grad(lambda *a: loss(fa.xla_norm_rope_attention, *a),
+                  argnums=(0, 1, 2, 3, 4))(q, k, v, qw, kw)
+    for a, b, name in zip(g1, g2, ("dq", "dk", "dv", "dqw", "dkw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
