@@ -93,6 +93,15 @@ def make_ar_train_step(
         fn = model.apply
         if tcfg.remat:
             fn = jax.checkpoint(model.apply, static_argnums=())
+        # Mixed precision (reference: accelerate bf16 autocast,
+        # configs/ladcast_375M.yaml:74): master params stay fp32 in the
+        # optimizer; compute sees a bf16 copy. Without this cast flax's
+        # dtype promotion (fp32 kernels x bf16 activations -> fp32) runs
+        # every matmul on the slow fp32 MXU path. The astype VJP casts
+        # gradients back to fp32.
+        params = jax.tree.map(
+            lambda x: x.astype(c_dtype)
+            if x.dtype == jnp.float32 else x, params)
         return fn(params, x_in.astype(c_dtype), c_noise,
                   cond.astype(c_dtype), yp).astype(jnp.float32)
 

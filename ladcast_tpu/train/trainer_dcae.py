@@ -94,7 +94,14 @@ def make_dcae_train_step(
                 lat_w.reshape(1, H, 1, 1), (B, H, 1, 1)), roll)
             stat_b = jax.vmap(roll_one)(stat_b, roll)
 
-        pred = model.apply(params, fields.astype(c_dtype),
+        # Mixed precision (reference: accelerate bf16 autocast): compute
+        # sees a bf16 copy of the fp32 master params; the astype VJP
+        # casts grads back to fp32. Without this, flax dtype promotion
+        # runs every conv/matmul in fp32 on the MXU's slow path.
+        cparams = jax.tree.map(
+            lambda x: x.astype(c_dtype)
+            if x.dtype == jnp.float32 else x, params)
+        pred = model.apply(cparams, fields.astype(c_dtype),
                            stat_b.astype(c_dtype),
                            True).astype(jnp.float32)  # return_static=True
         if tcfg.ft_decoder_only:
