@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--ibtracs", default=None,
                     help="optional IBTrACS CSV for track-error columns")
     ap.add_argument("--storm_id", default=None)
+    ap.add_argument("--plot", default=None,
+                    help="write a track-comparison map PNG "
+                         "(reference track.py:389-583)")
+    ap.add_argument("--plot_errors", default=None,
+                    help="write a track-error-growth PNG (needs --ibtracs)")
     args = ap.parse_args(argv)
 
     d = np.load(args.forecast, allow_pickle=True)
@@ -85,6 +90,23 @@ def main(argv=None):
                     row.append(round(float(errs[i]), 1))
                 w.writerow(row)
     print(f"wrote {args.output_csv} ({len(tracks)} member tracks)")
+
+    if args.plot or args.plot_errors:
+        from ladcast_tpu.utils import visualization as viz
+
+        if args.plot:
+            viz.plot_tracks(
+                obs_track=obs, ens_tracks=tracks,
+                ens_mean_track=viz.ensemble_mean_track(tracks),
+                title=f"{args.storm_id or 'storm'} track comparison",
+                out_path=args.plot)
+            print(f"wrote {args.plot}")
+        if args.plot_errors and obs is not None:
+            errs = {name: tracker.track_error_km(track, obs)
+                    for name, track in tracks.items()}
+            viz.plot_track_errors(errs, step_hours=step_h,
+                                  out_path=args.plot_errors)
+            print(f"wrote {args.plot_errors}")
 
 
 if __name__ == "__main__":

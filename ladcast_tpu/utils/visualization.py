@@ -136,12 +136,215 @@ def save_forecast_gif(
     plt.close(fig)
 
 
+def save_comparison_animation(
+    pred: np.ndarray,            # (T, lat, lon)
+    truth: np.ndarray,           # (T, lat, lon)
+    out_path: str,
+    lead_hours: Optional[Sequence[int]] = None,
+    var_name: str = "",
+    fps: int = 3,
+    cmap: str = "jet",
+):
+    """Side-by-side forecast / ERA5 / error animation (reference
+    plot_traj_animation + plot_single_traj_animation, utils.py:218-694)
+    as an animated GIF."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    T = pred.shape[0]
+    lead_hours = list(lead_hours) if lead_hours is not None \
+        else [6 * (i + 1) for i in range(T)]
+    vmin = min(np.nanmin(pred), np.nanmin(truth))
+    vmax = max(np.nanmax(pred), np.nanmax(truth))
+    err = pred - truth
+    emax = np.nanmax(np.abs(err)) or 1.0
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 2.8))
+    ims = [
+        axes[0].imshow(pred[0][::-1], cmap=cmap, vmin=vmin, vmax=vmax),
+        axes[1].imshow(truth[0][::-1], cmap=cmap, vmin=vmin, vmax=vmax),
+        axes[2].imshow(err[0][::-1], cmap="RdBu_r", vmin=-emax, vmax=emax),
+    ]
+    for ax in axes:
+        ax.set_axis_off()
+    titles = [f"{var_name} forecast", "ERA5", "error"]
+
+    def update(i):
+        for im, arr in zip(ims, (pred, truth, err)):
+            im.set_data(arr[i][::-1])
+        for ax, t in zip(axes, titles):
+            ax.set_title(f"{t} +{lead_hours[i]}h", fontsize=9)
+        return ims
+
+    update(0)
+    ani = animation.FuncAnimation(fig, update, frames=T)
+    ani.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+
+
 def to_rgb(field: np.ndarray, cmap: str = "jet") -> np.ndarray:
     """Field -> uint8 RGB via a colormap (reference convert_to_rgb,
     utils.py:77-105)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     f = np.asarray(field, np.float64)
     f = (f - np.nanmin(f)) / max(np.nanmax(f) - np.nanmin(f), 1e-12)
-    rgba = cm.get_cmap(cmap)(f)
+    rgba = matplotlib.colormaps[cmap](f)
     return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Cyclone-track plotting (reference evaluate/track.py:389-583 plot_tracks).
+# Tracks are lists of (datetime, lat, lon) fixes -- the format produced by
+# evaluate/tracker.track_first_n_steps. Cartopy coastlines/borders are
+# drawn when the library exists; otherwise plain lat/lon axes with a
+# gridline raster carry the same scientific content.
+# ---------------------------------------------------------------------------
+
+
+def _track_axes(extent=None, figsize=(10, 7)):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    try:
+        import cartopy.crs as ccrs
+        import cartopy.feature as cfeature
+        fig = plt.figure(figsize=figsize)
+        ax = plt.axes(projection=ccrs.PlateCarree())
+        ax.coastlines("50m")
+        ax.add_feature(cfeature.BORDERS)
+        ax.gridlines(draw_labels=True)
+        if extent is not None:
+            ax.set_extent(extent, crs=ccrs.PlateCarree())
+    except ImportError:
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.grid(True, linewidth=0.3, alpha=0.6)
+        ax.set_xlabel("longitude (deg)")
+        ax.set_ylabel("latitude (deg)")
+        if extent is not None:
+            ax.set_xlim(extent[0], extent[1])
+            ax.set_ylim(extent[2], extent[3])
+    return fig, ax
+
+
+def _annotate_24h(ax, track, interval_annot=24, **text_kw):
+    t0 = track[0][0]
+    for t, la, lo in track:
+        hours = int((t - t0).total_seconds() // 3600)
+        if hours % interval_annot == 0:
+            ax.text(lo, la, f"{hours}", fontsize=6, ha="center",
+                    va="bottom", **text_kw)
+
+
+def plot_tracks(
+    obs_track=None,          # observed (IBTrACS/HURDAT) fixes
+    era5_track=None,         # analysis track
+    ens_tracks=None,         # {member_name: track}
+    ens_mean_track=None,
+    model_tracks=None,       # {model_name: track} (e.g. KML agency tracks)
+    interval: int = 1,
+    title: str = "Storm Track Comparison",
+    extent=None,             # (lon_min, lon_max, lat_min, lat_max)
+    ensemble_label: str = "Ensemble",
+    out_path: Optional[str] = None,
+):
+    """Observed + ERA5 + ensemble + agency track comparison map
+    (reference track.py:389-583): observed solid with 24-h hour
+    annotations, ERA5 dashed squares, members thin staggered-dash green
+    with end markers, ensemble mean red dashed with annotations and a
+    final X, agency models triangle lines."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = _track_axes(extent)
+
+    def lonlat(track):
+        sub = track[::interval]
+        return [p[2] for p in sub], [p[1] for p in sub]
+
+    if obs_track:
+        lons, lats = lonlat(obs_track)
+        ax.plot(lons, lats, "o-", label="IBTrACS", linewidth=2)
+        _annotate_24h(ax, obs_track[::interval], fontweight="bold")
+    if era5_track:
+        lons, lats = lonlat(era5_track)
+        ax.plot(lons, lats, "s--", label="ERA5 (1.5\N{DEGREE SIGN})",
+                linewidth=2)
+    if ens_tracks:
+        for idx, (name, track) in enumerate(ens_tracks.items()):
+            lons, lats = lonlat(track)
+            (line,) = ax.plot(
+                lons, lats, color="green", linewidth=1, alpha=0.4,
+                label=ensemble_label if idx == 0 else "_nolegend_")
+            line.set_linestyle((idx * 3, (6, 4)))  # staggered dashes
+            ax.plot(lons[-1], lats[-1], "o", color=line.get_color(),
+                    markersize=2)
+    if ens_mean_track:
+        lons, lats = lonlat(ens_mean_track)
+        ax.plot(lons, lats, "--", color="red", linewidth=2,
+                label="Ensemble mean")
+        _annotate_24h(ax, ens_mean_track, color="black")
+        ax.plot(lons[-1], lats[-1], "X", color="red", markersize=6)
+    if model_tracks:
+        for model, track in model_tracks.items():
+            lons, lats = lonlat(track)
+            ax.plot(lons, lats, "-^", label=model)
+
+    ax.legend()
+    ax.set_title(title)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=200)
+        plt.close(fig)
+    return fig
+
+
+def ensemble_mean_track(tracks) -> list:
+    """Fix-wise mean of equal-length member tracks (lat/lon averaged on
+    the sphere would matter near the antimeridian; the reference averages
+    raw coordinates, matched here)."""
+    tracks = list(tracks.values()) if isinstance(tracks, dict) else tracks
+    n = min(len(t) for t in tracks)
+    out = []
+    for i in range(n):
+        out.append((tracks[0][i][0],
+                    float(np.mean([t[i][1] for t in tracks])),
+                    float(np.mean([t[i][2] for t in tracks]))))
+    return out
+
+
+def plot_track_errors(
+    errors_km: dict,            # {name: (T,) km errors vs observed}
+    step_hours: int = 6,
+    title: str = "Track error vs lead time",
+    out_path: Optional[str] = None,
+):
+    """Per-member + mean great-circle track error growth (the quantity the
+    reference exports to CSV at track.py:891-912, plotted)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    all_err = []
+    for name, err in errors_km.items():
+        hours = np.arange(len(err)) * step_hours
+        ax.plot(hours, err, color="green", alpha=0.35, linewidth=1)
+        all_err.append(np.asarray(err, float))
+    if all_err:
+        n = min(map(len, all_err))
+        mean = np.mean([e[:n] for e in all_err], axis=0)
+        ax.plot(np.arange(n) * step_hours, mean, color="red", linewidth=2,
+                label="ensemble mean error")
+        ax.legend()
+    ax.set_xlabel("lead time (h)")
+    ax.set_ylabel("track error (km)")
+    ax.set_title(title)
+    ax.grid(True, linewidth=0.3, alpha=0.6)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig

@@ -90,6 +90,12 @@ def test_visualization_smoke(tmp_path):
     rgb = to_rgb(f)
     assert rgb.shape == (12, 24, 3) and rgb.dtype == np.uint8
 
+    from ladcast_tpu.utils.visualization import save_comparison_animation
+    pred = rng.randn(3, 12, 24).astype(np.float32)
+    gif = os.fspath(tmp_path / "cmp.gif")
+    save_comparison_animation(pred, pred * 0.9, gif, var_name="z500")
+    assert os.path.getsize(gif) > 0
+
 
 def test_kml_parsing(tmp_path):
     from ladcast_tpu.evaluate.tracker import load_kml_tracks
@@ -110,3 +116,53 @@ def test_kml_parsing(tmp_path):
     assert (t.year, t.hour, la, lo) == (2018, 0, 21.0, 140.25)
     # negative longitudes wrap into [0, 360)
     assert abs(tracks["ECMWF"][1][2] - 139.5) < 1e-6
+
+
+def test_push_forward_year_progress_calendar_walk():
+    """Property test (ROADMAP item 7): the push-forward year-progress
+    chunk advance must equal the reference's calendar walk, which adds
+    pd.Timedelta(hours=6) to the YYYYMMDDHH int once per chunk
+    (train_AR.py:934-939) and converts via compute_year_progress
+    (embeddings.py:442-447). Exercised across month/year boundaries and
+    the leap-year length change."""
+    import pandas as pd
+
+    from ladcast_tpu.data import time_utils
+
+    def reference_walk(ts_int, n_chunks):
+        # transcription of the reference loop: timestamps[i] updated
+        # in place by +6h per push_forward_step >= 1, then
+        # compute_year_progress(datetime)
+        out = []
+        ts = ts_int
+        for _ in range(n_chunks):
+            dt = pd.Timestamp(time_utils.int_to_datetime(ts))
+            year_start = pd.Timestamp(dt.year, 1, 1)
+            year_end = pd.Timestamp(dt.year + 1, 1, 1)
+            out.append((dt - year_start).total_seconds()
+                       / (year_end - year_start).total_seconds())
+            ts = int((dt + pd.Timedelta(hours=6)).strftime("%Y%m%d%H"))
+        return np.asarray(out, np.float32)
+
+    boundary_inits = [
+        2016022818,  # leap-year Feb 28 -> 29
+        2015022818,  # non-leap Feb 28 -> Mar 1
+        2018123118,  # year boundary (progress resets, denominator changes)
+        2016123118,  # leap -> non-leap year boundary
+        2018013118,  # month boundary
+        2018063018,  # mid-year month boundary
+        2000022818,  # century leap year
+    ]
+    for ts in boundary_inits:
+        for n in (1, 2, 4, 8):
+            ref = reference_walk(ts, n)
+            ours = np.asarray(
+                [time_utils.year_progress(time_utils.int_to_datetime(
+                    time_utils.add_hours_int(ts, 6 * k)))
+                 for k in range(n)], np.float32)
+            np.testing.assert_allclose(ours, ref, atol=1e-7, err_msg=str(ts))
+    # rollout_year_progress (inference advance: step * hours_per_rep)
+    rp = time_utils.rollout_year_progress(2018123118, 4, 24)
+    manual = [time_utils.year_progress(time_utils.int_to_datetime(
+        time_utils.add_hours_int(2018123118, 24 * i))) for i in range(4)]
+    np.testing.assert_allclose(rp, np.asarray(manual, np.float32))

@@ -57,3 +57,35 @@ def test_wraparound_longitude():
     res = find_local_minimum(f, (0.0, 1.5), inner_deg=7)
     assert res is not None
     assert abs((res[1] - 359.25 + 180) % 360 - 180) <= 1.5
+
+
+def test_track_plotting_smoke(tmp_path):
+    """plot_tracks / plot_track_errors render PNGs from tracker-format
+    fixes (reference track.py:389-583 parity, cartopy-optional)."""
+    from datetime import datetime, timedelta
+
+    from ladcast_tpu.utils import visualization as viz
+
+    t0 = datetime(2018, 9, 1, 0)
+    def mk(lat0, lon0, dlat, dlon, n=8):
+        return [(t0 + timedelta(hours=6 * i), lat0 + dlat * i,
+                 lon0 + dlon * i) for i in range(n)]
+
+    obs = mk(15.0, 210.0, 0.5, -1.0)
+    ens = {f"member_{m}": mk(15.0 + 0.1 * m, 210.0, 0.45, -1.05)
+           for m in range(4)}
+    mean = viz.ensemble_mean_track(ens)
+    assert len(mean) == 8 and abs(mean[0][1] - 15.15) < 1e-6
+
+    p1 = tmp_path / "tracks.png"
+    viz.plot_tracks(obs_track=obs, ens_tracks=ens, ens_mean_track=mean,
+                    era5_track=obs, model_tracks={"IFS": obs[:5]},
+                    out_path=str(p1))
+    assert p1.exists() and p1.stat().st_size > 1000
+
+    import numpy as _np
+    errs = {k: _np.linspace(0, 100 + 10 * i, 8)
+            for i, k in enumerate(ens)}
+    p2 = tmp_path / "errors.png"
+    viz.plot_track_errors(errs, out_path=str(p2))
+    assert p2.exists() and p2.stat().st_size > 1000
