@@ -22,6 +22,7 @@ vs_baseline = target_this_host / measured (>1 == beating the target).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -109,6 +110,16 @@ def main():
         return float(acc), float(traj.mean())
 
     full_forecast(jax.random.PRNGKey(4))  # compile (excluded)
+
+    if "--profile" in sys.argv:
+        # jax.profiler trace of one timed forecast (ROADMAP item 8);
+        # view with TensorBoard/Perfetto. Off by default -- the driver's
+        # contract is the single JSON line below.
+        from ladcast_tpu.utils.profiling import device_trace
+        pdir = sys.argv[sys.argv.index("--profile") + 1]
+        with device_trace(pdir):
+            full_forecast(jax.random.PRNGKey(99))
+        print(f"# profiler trace written to {pdir}", flush=True)
 
     times = []
     for i in range(2):

@@ -40,6 +40,7 @@ from ladcast_tpu.parallel.mesh import make_mesh
 from ladcast_tpu.train import checkpoint as ckpt
 from ladcast_tpu.train.optim import make_optimizer
 from ladcast_tpu.train.trainer_ar import ARTrainConfig, make_ar_train_step
+from ladcast_tpu.utils import profiling
 from ladcast_tpu.utils.logging_utils import MetricLogger
 from ladcast_tpu.utils.registry import load_yaml
 
@@ -245,31 +246,37 @@ def main(argv=None):
     # computations, which is the opposite regime.
     key = jax.random.PRNGKey(args.seed)
     ckpt_every = gen_cfg.get("checkpointing_steps", 50000)
+    timer = profiling.PhaseTimer()  # host data stall vs dispatch vs eval
     t0 = time.time()
     step = start_step
     while step < num_steps:
-        batch = example if step == start_step else next(it, None)
-        if batch is None:
-            it = batch_iterator(
-                dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
-                seed=args.seed + step,
-                num_push_forward_steps=tcfg.num_push_forward_steps,
-                batch_slice=local_slice)
-            batch = next(it)
-        batch = dist.make_global_batch(batch, bsh)
+        with timer.phase("data"):
+            batch = example if step == start_step else next(it, None)
+            if batch is None:
+                it = batch_iterator(
+                    dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
+                    seed=args.seed + step,
+                    num_push_forward_steps=tcfg.num_push_forward_steps,
+                    batch_slice=local_slice)
+                batch = next(it)
+            batch = dist.make_global_batch(batch, bsh)
         key, sub = jax.random.split(key)
-        state, aux = step_fn(state, batch, sub)
+        with timer.phase("step_dispatch"):
+            state, aux = step_fn(state, batch, sub)
         step += 1
         if step % 50 == 0 or step == start_step + 1:
             logger.log({"loss": float(aux["loss"]),
                         "grad_norm": float(aux["grad_norm"]),
-                        "steps_per_s": 50 / max(time.time() - t0, 1e-9)},
+                        "steps_per_s": 50 / max(time.time() - t0, 1e-9),
+                        "phases": timer.summary()},
                        step)
             t0 = time.time()
         if run_validation is not None and step % args.val_every == 0:
-            run_validation(state, step)
+            with timer.phase("validation"):
+                run_validation(state, step)
         if step % ckpt_every == 0 or step == num_steps:
-            ckpt.save_state(mgr, step, jax.device_get(state))
+            with timer.phase("checkpoint"):
+                ckpt.save_state(mgr, step, jax.device_get(state))
     mgr.wait_until_finished()
     logger.close()
 

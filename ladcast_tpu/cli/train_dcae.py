@@ -31,6 +31,7 @@ from ladcast_tpu.parallel.mesh import make_mesh
 from ladcast_tpu.train import checkpoint as ckpt
 from ladcast_tpu.train.optim import make_optimizer
 from ladcast_tpu.train.trainer_dcae import DCAETrainConfig, make_dcae_train_step
+from ladcast_tpu.utils import profiling
 from ladcast_tpu.utils.logging_utils import MetricLogger
 from ladcast_tpu.utils.registry import load_yaml
 
@@ -224,28 +225,35 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     step = int(jax.device_get(state.step))
     batch = dist.make_global_batch(example, (bsh, bsh, repl))
+    timer = profiling.PhaseTimer()  # host data stall vs dispatch vs eval
     t0 = time.time()
     while step < num_steps:
         # subbatch reuse: a fresh batch every `subbatch_steps` steps
         if step % tcfg.subbatch_steps == 0 and step > 0:
-            batch = dist.make_global_batch(
-                make_batch(rng.choice(all_ts, global_bs, replace=False)),
-                (bsh, bsh, repl))
+            with timer.phase("data"):
+                batch = dist.make_global_batch(
+                    make_batch(rng.choice(all_ts, global_bs,
+                                          replace=False)),
+                    (bsh, bsh, repl))
         key, sub = jax.random.split(key)
-        state, aux = step_fn(state, batch, sub)
+        with timer.phase("step_dispatch"):
+            state, aux = step_fn(state, batch, sub)
         step += 1
         if step % 50 == 0 or step == 1:
             logger.log({"loss": float(aux["loss"]),
                         "grad_norm": float(aux["grad_norm"]),
-                        "steps_per_s": 50 / max(time.time() - t0, 1e-9)},
+                        "steps_per_s": 50 / max(time.time() - t0, 1e-9),
+                        "phases": timer.summary()},
                        step)
             t0 = time.time()
         if step % gen_cfg.get("checkpointing_steps", 40000) == 0 \
                 or step == num_steps:
-            ckpt.save_state(mgr, step, jax.device_get(state))
+            with timer.phase("checkpoint"):
+                ckpt.save_state(mgr, step, jax.device_get(state))
         if val_src is not None and (step % val_every == 0
                                     or step == num_steps):
-            run_validation(step)
+            with timer.phase("validation"):
+                run_validation(step)
     mgr.wait_until_finished()
     logger.close()
 

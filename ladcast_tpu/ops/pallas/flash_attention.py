@@ -18,6 +18,14 @@ Position-dependent tables make one kernel cover every attention variant:
 Layout: caller-facing BSHD; (batch, heads) fold into one grid dimension so
 block shapes satisfy the Mosaic trailing-dims tiling rule.
 
+Default blocks (sweep, scripts/bench_attention_sweep.py @ B=20 S=2250
+H=12 D=128 on v5e): block_k covering the whole (padded) K sequence in
+ONE inner iteration + 6 heads per tile beats the classic small-block
+flash schedule 13.9 -> 10.9 ms -- K/V slabs are VMEM-resident per grid
+step anyway, so small K blocks only add loop/max/rescale passes. The
+kernel degrades gracefully to multi-block when S exceeds the default
+block_k (long-sequence flash behavior preserved).
+
 Backward: Pallas flash dq/dk/dv kernels (with the forward's saved
 logsumexp rows) for long sequences, XLA composite VJP below
 ``_PALLAS_BWD_MIN_SEQ`` -- at the model's ~2k tokens the fused quadratic
@@ -158,8 +166,8 @@ def _pad_seq(x, s_pad, axis=1):
 
 
 def _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
-                norm_eps: float, block_q: int = 256, block_k: int = 512,
-                heads_per_tile: int = 3, return_lse: bool = False):
+                norm_eps: float, block_q: int = 256, block_k: int = 2304,
+                heads_per_tile: int = 6, return_lse: bool = False):
     """Heads are addressed by lane-sliced BlockSpecs over the packed
     (B, S, H*D) layout -- no BSHD<->BHSD transposes touch HBM; each grid
     step DMAs a ``heads_per_tile * 128``-lane slab directly (grid =

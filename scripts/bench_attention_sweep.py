@@ -59,10 +59,12 @@ def main():
 
     timed("xla composite bf16", lambda q, k, v: fa._xla_composite(
         q, k, v, cos, sin, w, cos, sin, w, 1e-7), q, k, v)
-    timed("preprocess pass alone", lambda k: fa._preprocess_packed(
-        k.reshape(B, S, H * D), jnp.pad(cos, ((0, 54), (0, 0))),
-        jnp.pad(sin, ((0, 54), (0, 0))), jnp.pad(w, ((0, 54), (0, 0))),
-        D, 1e-7), jnp.pad(k.reshape(B, S, H * D), ((0, 0), (0, 54), (0, 0))))
+    kp = jnp.pad(k.reshape(B, S, H * D), ((0, 0), (0, 54), (0, 0)))
+    timed("preprocess pass alone",
+          lambda x: fa._preprocess_packed(
+              x, jnp.pad(cos, ((0, 54), (0, 0))),
+              jnp.pad(sin, ((0, 54), (0, 0))),
+              jnp.pad(w, ((0, 54), (0, 0))), D, 1e-7), kp)
 
     configs = [
         (256, 512, 3),    # current default
