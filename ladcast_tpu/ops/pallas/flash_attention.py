@@ -198,12 +198,6 @@ def _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
     ksin = _pad_seq(ksin.astype(jnp.float32), sk_pad, 0)
     kw = _pad_seq(kw.astype(jnp.float32), sk_pad, 0)
 
-    # K preprocessing (norm+rope) once, in its own tiled pass: inside the
-    # FA kernel it would be recomputed for every q block (the dominant
-    # cost at bench shapes -- ~9x redundant VPU work).
-    kf = _preprocess_packed(kf, kcos, ksin, kw, D, norm_eps,
-                            block=min(512, sk_pad))
-
     grid = (B, H // hpt, sq_pad // block_q)
     q_spec = pl.BlockSpec((1, block_q, hpt * D), lambda b, h, i: (b, i, h),
                           memory_space=pltpu.VMEM)
@@ -211,6 +205,16 @@ def _fused_impl(q, k, v, qcos, qsin, qw, kcos, ksin, kw,
                            memory_space=pltpu.VMEM)
     tbl_q = pl.BlockSpec((block_q, D), lambda b, h, i: (i, 0),
                          memory_space=pltpu.VMEM)
+
+    # K preprocessing (norm+rope) once, in its own tiled pass: inside the
+    # multi-block FA kernel it would be recomputed for every q block
+    # (~9x redundant VPU work at 256-token q blocks). Negative result
+    # (round 2): folding the K-side norm+rope INTO the kernel for the
+    # single-K-block case measured 13.1 ms at block_q=256 (recompute per
+    # q block beats the pass it saves) and only tied (10.7 ms) at
+    # block_q=1152 -- the separate pass stays.
+    kf = _preprocess_packed(kf, kcos, ksin, kw, D, norm_eps,
+                            block=min(512, sk_pad))
     kernel = functools.partial(_fa_fused_kernel, scale=scale, s_true=Sk,
                                block_k=block_k, norm_eps=norm_eps,
                                head_dim=D)

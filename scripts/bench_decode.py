@@ -4,7 +4,11 @@ Round-1 baseline (padded-copy sphere conv): 0.263 s per call / 13 ms per
 frame (PERFORMANCE.md). Run after kernel changes to track the decode lever.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

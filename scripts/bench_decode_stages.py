@@ -7,6 +7,8 @@ to amortize the ~30 ms axon per-dispatch overhead. v5e bf16 peak ~197 TFLOP/s.
 
 import time
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
