@@ -52,8 +52,52 @@ def sphere_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     return x
 
 
+def _depthwise_shift_conv(x, kernel, padding):
+    """Depthwise conv as a sum of shifted slices (kernel (kh, kw, 1, C)).
+
+    Used for the THIN boundary-strip convolutions of the fused-boundary
+    sphere conv: on strips the grouped-conv HLO pays a large fixed cost
+    (~0.5 ms each at feature_group_count in the thousands), while the
+    shifted fused multiply-adds fuse into the surrounding elementwise
+    graph. For big main convolutions the grouped HLO wins (measured:
+    3.4 ms HLO vs 5.6 ms shifted over (20, 30, 60, 4032) k=3 -- XLA's
+    conv emitter streams the input once, the shifted form re-reads it
+    kh*kw times).
+    """
+    kh, kw, _, C = kernel.shape
+    if padding == "VALID":
+        padding = ((0, 0), (0, 0))
+    xp = x if padding == ((0, 0), (0, 0)) else jnp.pad(
+        x, ((0, 0), padding[0], padding[1], (0, 0)))
+    H_out = xp.shape[1] - kh + 1
+    W_out = xp.shape[2] - kw + 1
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            t = xp[:, dy:dy + H_out, dx:dx + W_out, :] \
+                * kernel[dy, dx, 0].astype(x.dtype)
+            out = t if out is None else out + t
+    return out
+
+
 def _conv_nhwc(x, kernel, groups: int = 1, padding="VALID"):
-    """NHWC/HWIO convolution (padding fused into the conv HLO)."""
+    """NHWC/HWIO convolution (padding fused into the conv HLO).
+
+    Depthwise (groups == C) thin-strip calls lower to shifted fused
+    multiply-adds (see _depthwise_shift_conv); large depthwise and all
+    dense convolutions use the conv HLO.
+    """
+    if groups > 1 and groups == x.shape[-1] and kernel.shape[2] == 1 \
+            and kernel.shape[3] == groups:
+        kh, kw = kernel.shape[:2]
+        if padding == "VALID":
+            h_out = x.shape[1] - kh + 1
+            w_out = x.shape[2] - kw + 1
+        else:
+            h_out = x.shape[1] + sum(padding[0]) - kh + 1
+            w_out = x.shape[2] + sum(padding[1]) - kw + 1
+        if min(h_out, w_out) <= max(kh, kw):  # boundary strip
+            return _depthwise_shift_conv(x, kernel, padding)
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),

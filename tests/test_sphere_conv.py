@@ -165,3 +165,31 @@ def test_gradient_matches_torch_reference():
                                want_dx, atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(dk).transpose(3, 2, 0, 1),
                                want_dw, atol=1e-3, rtol=1e-3)
+
+
+def test_depthwise_shift_conv_matches_grouped_hlo():
+    """The shifted-FMA depthwise lowering equals the grouped-conv HLO
+    (which equals the reference grouped torch conv, covered above)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from ladcast_tpu.ops import sphere
+
+    rng = np.random.RandomState(0)
+    for (H, W, C, k) in [(8, 12, 16, 3), (6, 10, 8, 5)]:
+        x = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+        kern = jnp.asarray(rng.randn(k, k, 1, C).astype(np.float32))
+        p = ((k // 2, k // 2), (k // 2, k // 2))
+        ours = sphere._depthwise_shift_conv(x, kern, p)
+        ref = lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding=p,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # and through the sphere wrapper (VALID + strip paths)
+        full = sphere.sphere_conv2d(x, kern, groups=C)
+        ref_full = sphere.sphere_conv2d_reference_3slice(x, kern, groups=C)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(ref_full),
+                                   rtol=1e-5, atol=1e-5)
