@@ -119,3 +119,37 @@ def test_lp_loss_per_var_shape():
     pv = np.asarray(lp_loss_per_var(yp, y))
     assert pv.shape == (12,)
     assert np.isfinite(pv).all()
+
+
+def test_compute_climatology_cli(tmp_path):
+    """cli.compute_climatology bins day-of-year/hour means in the layout
+    evaluate_ens consumes (reference: WB2 climatology product)."""
+    import os
+
+    from ladcast_tpu.cli import compute_climatology as cc
+    from ladcast_tpu.data import time_utils
+
+    rng = np.random.RandomState(0)
+    ts, fields = [], []
+    # two years of the same two calendar days at 0z/6z, distinct values
+    for year in (2000, 2001):
+        for (m, d) in ((1, 5), (3, 1)):
+            for h in (0, 6):
+                ts.append(int(f"{year}{m:02d}{d:02d}{h:02d}"))
+                fields.append(np.full((4, 8, 3),
+                                      float(year % 100 + h), np.float32))
+    src = os.fspath(tmp_path / "src.npz")
+    np.savez(src, fields=np.stack(fields),
+             timestamps=np.asarray(ts, np.int64))
+    out = os.fspath(tmp_path / "clim.npz")
+    cc.main(["--data", src, "--output", out, "--batch", "3"])
+
+    d = np.load(out)
+    clim = d["clim"]
+    assert clim.shape == (366, 4, 4, 8, 3)
+    doy = time_utils.int_to_datetime(2000010500).timetuple().tm_yday
+    # mean over the two years at 0z: (0+0)/2 + mean(year%100)=0.5
+    np.testing.assert_allclose(clim[doy - 1, 0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(clim[doy - 1, 1], 6.5, atol=1e-6)
+    # untouched bins stay zero
+    assert clim[100, 0].max() == 0.0
