@@ -107,7 +107,13 @@ def main():
             acc = acc + dec_mean
         traj = jnp.concatenate(outs, axis=1)[:, : rcfg.total_num_steps]
         # scalar fetch == hard sync; keeps D2H tiny
-        return float(acc), float(traj.mean())
+        acc_f, mean_f = float(acc), float(traj.mean())
+        # a bench that silently times NaN outputs is worse than a crash
+        # (round-2 lesson: a kernel grid bug produced garbage attention
+        # at full speed); fail loudly instead.
+        assert np.isfinite(acc_f) and np.isfinite(mean_f), \
+            (acc_f, mean_f)
+        return acc_f, mean_f
 
     full_forecast(jax.random.PRNGKey(4))  # compile (excluded)
 

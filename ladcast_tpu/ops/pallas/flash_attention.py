@@ -82,8 +82,17 @@ def _norm_rope_kernel(x_ref, cos_ref, sin_ref, w_ref, o_ref, *,
 
 def _preprocess_packed(x_packed, cos, sin, w, head_dim: int,
                        norm_eps: float, block: int = 512):
-    """norm+rope a packed (B, S, H*D) tensor via a tiled Pallas pass."""
+    """norm+rope a packed (B, S, H*D) tensor via a tiled Pallas pass.
+
+    ``block`` is clamped to the largest 128-multiple divisor of S <= the
+    request: a non-dividing block would leave an unprocessed tail (grid
+    uses S // block) -- the round-2 wide-block NaN bug.
+    """
     B, S, HD = x_packed.shape
+    block = min(block, S)
+    while S % block:
+        block -= 128
+    assert block >= 128 and S % block == 0, (S, block)
     grid = (B, HD // head_dim, S // block)
     spec = pl.BlockSpec((1, block, head_dim), lambda b, h, i: (b, i, h),
                         memory_space=pltpu.VMEM)

@@ -143,3 +143,29 @@ def test_fused_backward_all_grads_with_segments():
     for a, b, name in zip(g1, g2, ("dq", "dk", "dv", "dqw", "dkw")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_preprocess_tail_coverage_nondivisible_pad():
+    """Regression (round-2 hardware NaN): with a wide block_k, sk_pad can
+    be a non-multiple of the K-preprocess pass block; the pass grid
+    (S // block) then left a raw un-normed/un-rotated K tail, corrupting
+    attention for the final positions (data-dependent up to NaN on TPU).
+    S=600 pads to 640 under the wide-block default and exercises exactly
+    that path; the clamp in _preprocess_packed must keep full coverage."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ladcast_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.RandomState(0)
+    B, S, H, D = 1, 600, 2, 128
+    q = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    cos = jnp.asarray(rng.rand(S, D).astype(np.float32))
+    sin = jnp.asarray(rng.rand(S, D).astype(np.float32))
+    w = jnp.asarray(rng.rand(S, D).astype(np.float32) + 0.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._fused_impl(q, k, v, cos, sin, w, cos, sin, w, 1e-7)
+    ref = fa._xla_composite(q, k, v, cos, sin, w, cos, sin, w, 1e-7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
