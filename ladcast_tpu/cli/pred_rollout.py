@@ -124,6 +124,10 @@ def main(argv=None):
     ap.add_argument("--step_size_hour", type=int, default=6)
     ap.add_argument("--noise_level", type=float, default=0.0)
     ap.add_argument("--sampler", default="edm", choices=["edm", "dpm"])
+    ap.add_argument("--correction_skip_period", type=int, default=0,
+                    help="opt-in APPROXIMATE acceleration: evaluate only "
+                         "every N-th Heun correction, extrapolate the "
+                         "rest (diffusion/samplers.py; 0 = exact)")
     ap.add_argument("--save_as_latent", action="store_true", default=True)
     ap.add_argument("--decode", dest="save_as_latent", action="store_false")
     ap.add_argument("--seed", type=int, default=0)
@@ -137,7 +141,8 @@ def main(argv=None):
         total_lead_time_hour=args.total_lead_time_hour,
         step_size_hour=args.step_size_hour,
         noise_level=args.noise_level,
-        sampler_type=args.sampler)
+        sampler_type=args.sampler,
+        correction_skip_period=args.correction_skip_period)
     dit_cfg = (ladcast_375m_config() if args.model == "375M"
                else ladcast_1p6b_config())
     dcae_cfg = DCAEConfig()

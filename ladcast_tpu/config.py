@@ -214,6 +214,10 @@ class RolloutConfig:
     latent_target_std: float = 0.5
     sampler_type: str = "edm"  # "edm" (Heun) or "dpm" (multistep pipeline)
     trajectory_dtype: str = "float32"
+    # Opt-in approximate acceleration: extrapolate every skipped Heun
+    # correction eval from the last evaluated one (samplers.py docstring;
+    # 0/1 = exact reference path). Validate skill before production use.
+    correction_skip_period: int = 0
 
     @property
     def total_num_steps(self) -> int:

@@ -58,12 +58,27 @@ def edm_heun_sample(
     s_noise: float = 0.0,
     churn_key: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    correction_skip_period: int = 0,
+    correction_skip_warmup: int = 2,
 ) -> jnp.ndarray:
     """Heun (2nd order) EDM sampling starting from unit Gaussian ``noise``.
 
     Matches pipelines/edm_sampler.py:10-120 step-for-step at the chosen
     trajectory dtype: x0 = noise * sigma[0]; per step an Euler move plus a
     2nd-order correction on every step except the last.
+
+    ``correction_skip_period`` (default 0 = off, the exact reference
+    path): opt-in inference acceleration in the spirit of
+    training-free DiT caching (SmoothCache arXiv:2411.10510, Delta-DiT
+    arXiv:2406.01125, predict-to-skip linear multistep feature
+    forecasting -- see PAPERS.md). Within the window
+    ``warmup <= i < N-2``, only every ``period``-th step evaluates the
+    correction-point network call D(x_eul, t_next); skipped steps use
+    the extrapolation ``E_i + (C_j - E_j)`` from the most recent
+    fully-evaluated step j (the correction-minus-Euler delta varies
+    slowly along the trajectory). period=2 drops ~8 of 39 network calls
+    at 20 steps, period=4 drops ~12. APPROXIMATE: validate forecast
+    skill before production use; default off.
     """
     sigmas = edm.inference_sigmas(cfg, num_inference_steps, dtype=dtype)
     x = noise.astype(dtype) * sigmas[0]
@@ -79,9 +94,20 @@ def edm_heun_sample(
 
     t_cur_arr = sigmas[:-1]
     t_next_arr = sigmas[1:]
+    p = correction_skip_period
+    n_scan = max(num_inference_steps - 1, 0)
+    if p > 1:
+        idxs = jnp.arange(n_scan)
+        skip_arr = (idxs >= correction_skip_warmup) & \
+            (((idxs - correction_skip_warmup) % p) != 0) & \
+            (idxs < n_scan - 1)
+    else:
+        p = 0  # 0/1 both mean "exact"
+        skip_arr = jnp.zeros((n_scan,), bool)
 
-    def heun_step(x_cur, inp):
-        t_cur, t_next, key = inp
+    def heun_step(carry, inp):
+        x_cur, delta_prev = carry
+        t_cur, t_next, key, skip = inp
         if stochastic:
             in_range = (t_cur >= s_min) & (t_cur <= s_max)
             gamma = jnp.where(in_range, gamma_base, 0.0)
@@ -91,17 +117,27 @@ def edm_heun_sample(
         else:
             t_hat = t_cur
             x_hat = x_cur
-        d1 = (x_hat - denoised_fn(x_hat, t_hat)) / t_hat
+        e = denoised_fn(x_hat, t_hat)
+        d1 = (x_hat - e) / t_hat
         x_eul = x_hat + (t_next - t_hat) * d1
         # 2nd-order correction (t_next > 0 on all scanned steps)
-        d2 = (x_eul - denoised_fn(x_eul, t_next)) / t_next
+        if p > 0:
+            c, delta = jax.lax.cond(
+                skip,
+                lambda: (e + delta_prev, delta_prev),
+                lambda: ((lambda cc: (cc, cc - e))(
+                    denoised_fn(x_eul, t_next))))
+        else:
+            c = denoised_fn(x_eul, t_next)
+            delta = delta_prev
+        d2 = (x_eul - c) / t_next
         x_next = x_hat + (t_next - t_hat) * (0.5 * d1 + 0.5 * d2)
-        return x_next, None
+        return (x_next, delta), None
 
     if num_inference_steps > 1:
-        x, _ = jax.lax.scan(
-            heun_step, x,
-            (t_cur_arr[:-1], t_next_arr[:-1], step_keys[:-1]))
+        (x, _), _ = jax.lax.scan(
+            heun_step, (x, jnp.zeros_like(x)),
+            (t_cur_arr[:-1], t_next_arr[:-1], step_keys[:-1], skip_arr))
 
     # Final step: Euler only (reference skips the correction at i == N-1).
     t_cur, t_next = t_cur_arr[-1], t_next_arr[-1]

@@ -101,7 +101,8 @@ def ensemble_rollout(
         if cfg.sampler_type == "edm":
             samples = edm_heun_sample(
                 sched_cfg, denoised_fn, noise, cfg.num_inference_steps,
-                dtype=traj_dtype)
+                dtype=traj_dtype,
+                correction_skip_period=cfg.correction_skip_period)
         elif cfg.sampler_type == "dpm":
             samples = dpm_multistep_sample(
                 sched_cfg, denoised_fn, noise, cfg.num_inference_steps,
@@ -159,9 +160,10 @@ def make_repetition_fn(sched_cfg: EDMSchedulerConfig, cfg: RolloutConfig):
                                             f.astype(x.dtype), sigma)
 
         if cfg.sampler_type == "edm":
-            samples = edm_heun_sample(sched_cfg, denoised_fn, noise,
-                                      cfg.num_inference_steps,
-                                      dtype=traj_dtype)
+            samples = edm_heun_sample(
+                sched_cfg, denoised_fn, noise, cfg.num_inference_steps,
+                dtype=traj_dtype,
+                correction_skip_period=cfg.correction_skip_period)
         else:
             samples = dpm_multistep_sample(sched_cfg, denoised_fn, noise,
                                            cfg.num_inference_steps,
