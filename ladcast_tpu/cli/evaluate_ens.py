@@ -96,14 +96,14 @@ def main(argv=None):
                  "--allow_truth_mean_climatology to accept an indicative "
                  "truth-window-mean substitute)")
 
-    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource, \
-        _load_any_params
+    from ladcast_tpu.cli.pred_rollout import _load_any_params, \
+        open_field_source
 
     dcae_cfg = DCAEConfig()
     dcae = AutoencoderDC(dcae_cfg)
     dcae_params = _load_any_params(args.dcae_params, "dcae", dcae_cfg)
-    truth_src = (NpzFieldSource(args.truth) if args.truth.endswith(".npz")
-                 else ZarrFieldSource(args.truth))
+    # npz bundle / zarr store / monthly-tar dir, same as pred_rollout
+    truth_src, _ = open_field_source(args.truth)
     clim = np.load(args.climatology)["clim"] if args.climatology else None
 
     lat_w = jnp.asarray(grid_lat_weights("cos"), jnp.float32)
