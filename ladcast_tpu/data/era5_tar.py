@@ -135,16 +135,58 @@ def read_tar_range(
 class TarFieldSource:
     """frames_at over a directory of monthly tars. Frames are converted to
     channels-last (lat, lon, C) and optionally cropped/trimmed to the
-    84-channel convention."""
+    84-channel convention.
+
+    ``native="auto"`` (default) indexes every archive once and serves all
+    member reads through the C++ threaded pread pool
+    (data/native_reader.TarNpyMemberSource -- the Ray-lazy-mapper role,
+    SURVEY.md section 2.1 item 21); archives with non-uniform member
+    strides, or a missing toolchain, fall back to the tarfile path.
+    ``native=False`` forces the tarfile path; ``native=True`` raises on
+    failure."""
 
     def __init__(self, tar_dir: str, crop_south_pole: bool = True,
-                 drop_last_channel: bool = True):
+                 drop_last_channel: bool = True, native="auto"):
         self.tar_dir = tar_dir
         self.crop_south_pole = crop_south_pole
         self.drop_last_channel = drop_last_channel
         self._cache: Dict[str, tarfile.TarFile] = {}
+        self._native = None
+        if native in ("auto", True):
+            try:
+                from ladcast_tpu.data.native_reader import TarNpyMemberSource
+                tars = sorted(
+                    os.path.join(tar_dir, f) for f in os.listdir(tar_dir)
+                    if f.endswith(".tar"))
+                if tars:
+                    self._native = TarNpyMemberSource(tars)
+            except Exception:
+                if native is True:
+                    raise
+
+    def _post(self, arr: np.ndarray) -> np.ndarray:
+        # (C, lat, lon) raw member -> framework conventions
+        if self.drop_last_channel:
+            arr = arr[:-1]  # surface_pressure (weather_dataset.py:213)
+        if self.crop_south_pole:
+            arr = arr[:, 1:, :]
+        return np.moveaxis(arr, 0, -1)
 
     def frames_at(self, ts_ints: Sequence[int]) -> np.ndarray:
+        if self._native is not None:
+            try:
+                idx = [self._native.index_by_name[_member_name(
+                    time_utils.int_to_datetime(int(ts)))]
+                    for ts in ts_ints]
+            except KeyError as e:
+                raise KeyError(f"timestamp not in archive: {e}") from e
+            raw = self._native.frames(np.asarray(idx, np.int64))
+            if self.drop_last_channel:
+                raw = raw[:, :-1]
+            if self.crop_south_pole:
+                raw = raw[:, :, 1:, :]
+            return np.ascontiguousarray(
+                np.moveaxis(raw, 1, -1), dtype=np.float32)
         out = []
         for ts in ts_ints:
             dt = time_utils.int_to_datetime(int(ts))
@@ -154,17 +196,16 @@ class TarFieldSource:
                     os.path.join(self.tar_dir, tname), "r")
             member = self._cache[tname].extractfile(_member_name(dt))
             arr = np.load(io.BytesIO(member.read()))  # (C, lat, lon)
-            if self.drop_last_channel:
-                arr = arr[:-1]  # surface_pressure (weather_dataset.py:213)
-            if self.crop_south_pole:
-                arr = arr[:, 1:, :]
-            out.append(np.moveaxis(arr, 0, -1))
+            out.append(self._post(arr))
         return np.asarray(out, np.float32)
 
     def close(self):
         for t in self._cache.values():
             t.close()
         self._cache.clear()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
 
 def preprocess_batch(

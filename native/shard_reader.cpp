@@ -38,6 +38,7 @@ struct Shard {
   int fd = -1;
   int64_t data_offset = 0;
   int64_t num_frames = 0;
+  int64_t stride = 0;  // byte distance between frame starts
 };
 
 class ThreadPool {
@@ -115,7 +116,7 @@ int read_frame(const Reader* r, int64_t g, char* dst) {
   int64_t local;
   if (!r->locate(g, &s, &local)) return -1;
   const Shard& sh = r->shards[s];
-  int64_t off = sh.data_offset + local * r->frame_bytes;
+  int64_t off = sh.data_offset + local * sh.stride;
   int64_t remaining = r->frame_bytes;
   while (remaining > 0) {
     ssize_t got = pread(sh.fd, dst, remaining, off);
@@ -131,9 +132,14 @@ int read_frame(const Reader* r, int64_t g, char* dst) {
 
 extern "C" {
 
-void* sr_open(const char** paths, int n_shards,
-              const int64_t* frames_per_shard, const int64_t* data_offsets,
-              int64_t frame_bytes, int n_threads) {
+// frame_strides: byte distance between consecutive frame starts within
+// each shard. Equal to frame_bytes for packed shards (.npy data
+// sections); larger for containers with per-member headers/padding
+// (tar archives of equal-size members -- 512-byte header + padding).
+void* sr_open2(const char** paths, int n_shards,
+               const int64_t* frames_per_shard, const int64_t* data_offsets,
+               const int64_t* frame_strides, int64_t frame_bytes,
+               int n_threads) {
   auto* r = new Reader();
   r->frame_bytes = frame_bytes;
   r->shards.resize(n_shards);
@@ -146,7 +152,8 @@ void* sr_open(const char** paths, int n_shards,
       delete r;
       return nullptr;
     }
-    r->shards[i] = {fd, data_offsets[i], frames_per_shard[i]};
+    r->shards[i] = {fd, data_offsets[i], frames_per_shard[i],
+                    frame_strides[i]};
     r->cum_frames[i] = cum;
     cum += frames_per_shard[i];
   }
@@ -154,6 +161,14 @@ void* sr_open(const char** paths, int n_shards,
   if (n_threads < 1) n_threads = 1;
   r->pool = std::make_unique<ThreadPool>(n_threads);
   return r;
+}
+
+void* sr_open(const char** paths, int n_shards,
+              const int64_t* frames_per_shard, const int64_t* data_offsets,
+              int64_t frame_bytes, int n_threads) {
+  std::vector<int64_t> strides(n_shards, frame_bytes);
+  return sr_open2(paths, n_shards, frames_per_shard, data_offsets,
+                  strides.data(), frame_bytes, n_threads);
 }
 
 int64_t sr_num_frames(void* handle) {
@@ -190,7 +205,7 @@ void sr_prefetch(void* handle, const int64_t* indices, int n) {
     if (!r->locate(indices[i], &s, &local)) continue;
     const Shard& sh = r->shards[s];
 #ifdef POSIX_FADV_WILLNEED
-    posix_fadvise(sh.fd, sh.data_offset + local * r->frame_bytes,
+    posix_fadvise(sh.fd, sh.data_offset + local * sh.stride,
                   r->frame_bytes, POSIX_FADV_WILLNEED);
 #endif
   }

@@ -105,3 +105,45 @@ def test_header_parser(shards):
         f.seek(off)
         raw = np.frombuffer(f.read(), np.float32).reshape(shape)
     np.testing.assert_array_equal(raw, full[:7])
+
+
+def test_native_tar_member_source(tmp_path):
+    """TarNpyMemberSource serves the same frames as the tarfile path
+    (uniform-stride archives written by write_tar_archive), and
+    TarFieldSource transparently prefers it."""
+    import os
+
+    from ladcast_tpu.data import era5_tar, time_utils
+    from ladcast_tpu.data.native_reader import TarNpyMemberSource
+
+    rng = np.random.RandomState(0)
+    N = 10
+    ts = [time_utils.add_hours_int(2018013118, 6 * i) for i in range(N)]
+
+    class Src:
+        def frames_at(self, tss):
+            out = []
+            for t in tss:
+                r = np.random.RandomState(int(t) % 100000)
+                out.append(r.randn(8, 12, 5).astype(np.float32))
+            return np.asarray(out)
+
+    d = os.fspath(tmp_path / "tars")
+    era5_tar.write_tar_archive(Src(), ts, d)  # spans a month boundary
+    assert len(os.listdir(d)) == 2
+
+    tars = sorted(os.path.join(d, f) for f in os.listdir(d))
+    native = TarNpyMemberSource(tars)
+    assert len(native) == N and native.frame_shape == (5, 8, 12)
+
+    fs_native = era5_tar.TarFieldSource(d, crop_south_pole=False,
+                                        drop_last_channel=False,
+                                        native=True)
+    fs_python = era5_tar.TarFieldSource(d, crop_south_pole=False,
+                                        drop_last_channel=False,
+                                        native=False)
+    sel = [ts[7], ts[0], ts[9]]  # cross-archive, out of order
+    np.testing.assert_array_equal(fs_native.frames_at(sel),
+                                  fs_python.frames_at(sel))
+    fs_native.close()
+    fs_python.close()
