@@ -3,7 +3,7 @@
 Equivalent of the reference webdataset path (dataloader/weather_dataset.py
 read_tar_files:232-318 and the HF GeneratorBasedBuilder WeatherDataset):
 monthly ``YYYY_MM.tar`` archives of per-hour ``YYYY-MM-DDTHH.npy`` arrays
-(channels-first (C, 121, 240), 91 channels incl. surface_pressure in the
+(channels-first (C, 121, 240), 85 channels = 78 atm + 7 surface with surface_pressure last in the
 reference layout).
 
 Provides:
