@@ -23,14 +23,15 @@ from ladcast_tpu.models.dcae import AutoencoderDC
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True, help="ERA5 zarr or .npz bundle")
+    ap.add_argument("--data", required=True,
+                    help="ERA5 zarr, .npz bundle, or monthly-tar dir")
     ap.add_argument("--dcae_params", required=True)
     ap.add_argument("--output", required=True, help=".zarr or .npz path")
     ap.add_argument("--batch_size", type=int, default=32)
     args = ap.parse_args(argv)
 
-    from ladcast_tpu.cli.pred_rollout import NpzFieldSource, ZarrFieldSource, \
-        _load_any_params
+    from ladcast_tpu.cli.pred_rollout import _load_any_params, \
+        open_field_source
 
     cfg = DCAEConfig()
     dcae = AutoencoderDC(cfg)
@@ -48,16 +49,12 @@ def main(argv=None):
         # params explicit: captured trees overflow remote compile requests
         return _encode(params, batch)
 
-    if args.data.endswith(".npz"):
-        src = NpzFieldSource(args.data)
-        fields, timestamps = src.fields, np.asarray(src.timestamps)
-    else:
-        src = ZarrFieldSource(args.data)
-        import pandas as pd
-        times = pd.to_datetime(src.ds.time.values)
-        timestamps = np.asarray(
-            [int(t.strftime("%Y%m%d%H")) for t in times], np.int64)
-        fields = None  # streamed below
+    # npz bundle / zarr store / monthly-tar dir (tar reads go through the
+    # native member reader when available)
+    src, timestamps = open_field_source(args.data)
+    fields = getattr(src, "fields", None) \
+        if args.data.endswith(".npz") else None  # npz is in-RAM already
+    timestamps = np.asarray(timestamps, np.int64)
 
     lats = []
     n = len(timestamps)
