@@ -77,3 +77,41 @@ def test_dit_roundtrip_mapping():
     w = sd["x_embedder.proj.weight"]
     got = params["params"]["x_embedder"]["kernel"]
     np.testing.assert_array_equal(got, w[:, :, 0, 0, 0].T)
+
+
+def test_safetensors_file_roundtrip_through_cli_loader():
+    """The production safetensors path end-to-end: the ACTUAL reference
+    model's state dict serialized to a .safetensors FILE, loaded through
+    cli.pred_rollout._load_any_params (load_safetensors + converter +
+    grid-size template), must reproduce the reference forward. This is
+    the exact code path published tonyzyl/ladcast weights will take."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+
+    import jax.numpy as jnp
+    from ladcast_tpu.cli.pred_rollout import _load_any_params
+    from ladcast_tpu.models.dcae import AutoencoderDC
+    from tests.test_oracle_dcae import _tiny_pair
+
+    ref, model, cfg = _tiny_pair(seed=3)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dcae.safetensors")
+        save_file({k: v.contiguous() for k, v in ref.state_dict().items()},
+                  path)
+        params = _load_any_params(path, "dcae", cfg)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 6, 16, 24).astype(np.float32)
+    static = rng.randn(2, 2, 16, 24).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), return_dict=False,
+                   static_conditioning_tensor=torch.from_numpy(static),
+                   return_static=True)[0].numpy()
+    got = model.apply(jax.tree.map(jnp.asarray, params),
+                      jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(static.transpose(0, 2, 3, 1)),
+                      return_static=True)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-4, rtol=1e-4)
