@@ -115,3 +115,67 @@ def test_safetensors_file_roundtrip_through_cli_loader():
                       return_static=True)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=1e-4, rtol=1e-4)
+
+
+def test_dit_safetensors_file_roundtrip_through_cli_loader():
+    """DiT branch of the CLI weight loader: reference state dict ->
+    .safetensors file -> _load_any_params -> our forward matches the
+    reference forward (the published-AR-weights path)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+
+    from ladcast_tpu.cli.pred_rollout import _load_any_params
+    from ladcast_tpu.config import LaDCastDiTConfig
+    from ladcast_tpu.data.time_utils import timestamps_to_year_progress
+    from tests.oracles.refload import load_reference
+    from tests.test_oracle_dit import _tiny_kwargs
+
+    kwargs = _tiny_kwargs()
+    ref_mod = load_reference("ladcast.models.LaDCast_3D_model")
+    torch.manual_seed(11)
+    ref = ref_mod.LaDCastTransformer3DModel(**kwargs)
+    ref.eval()
+
+    cfg = LaDCastDiTConfig(
+        **{k: kwargs[k] for k in (
+            "in_channels", "out_channels", "num_attention_heads",
+            "attention_head_dim", "num_layers", "num_single_layers",
+            "num_refiner_layers", "mlp_ratio", "qk_norm", "rope_theta",
+            "rope_axes_dim", "rope_spatial_grid_start_pos",
+            "rope_spatial_grid_end_pos", "spatial_deg2rad",
+            "conditioning_tensor_in_channels",
+            "conditioning_tensor_rope_axes_dim", "incl_time_elapsed",
+            "nope", "scale_attn_by_lat")},
+        attention_impl="xla")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dit.safetensors")
+        save_file({k: v.contiguous() for k, v in ref.state_dict().items()},
+                  path)
+        params = _load_any_params(path, "dit", cfg)
+
+    b, t, t_in, h, w = 2, 2, 1, 4, 6
+    c = kwargs["in_channels"]
+    rng = np.random.RandomState(7)
+    x = rng.randn(b, c, t, h, w).astype(np.float32)
+    cond = rng.randn(b, c, t_in, h, w).astype(np.float32)
+    c_noise = (rng.randn(b) * 0.5).astype(np.float32)
+    ts_ints = np.array([2018010106, 2018063018], np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(c_noise),
+                   torch.from_numpy(cond),
+                   time_elapsed=torch.from_numpy(ts_ints),
+                   return_dict=False)[0].numpy()
+
+    model = LaDCastTransformer3D(cfg)
+    yp = jnp.asarray(timestamps_to_year_progress(ts_ints))
+    got = model.apply(jax.tree.map(jnp.asarray, params),
+                      jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                      jnp.asarray(c_noise),
+                      jnp.asarray(cond.transpose(0, 2, 3, 4, 1)), yp)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+        atol=2e-4, rtol=2e-4)
