@@ -168,6 +168,11 @@ def main(argv=None):
             else np.zeros((0, 1, 1), np.float32)
         np.save(os.path.join(args.output_dir, f"{k}.npy"), merged[k])
 
+    if merged["crps"].shape[0] == 0:
+        raise SystemExit(
+            "no init times were scored on any rank (all shard files "
+            "empty) -- check --latents_dir / --truth arguments")
+
     # Human-readable summary table: per-variable ens-mean RMSE/CRPS at
     # day 1/5/10 (the headline figure layout, assets/2018_rmse.png;
     # variables/levels follow BASELINE.md's digitized tables).

@@ -137,13 +137,16 @@ class TarFieldSource:
     channels-last (lat, lon, C) and optionally cropped/trimmed to the
     84-channel convention.
 
-    ``native="auto"`` (default) indexes every archive once and serves all
-    member reads through the C++ threaded pread pool
-    (data/native_reader.TarNpyMemberSource -- the Ray-lazy-mapper role,
-    SURVEY.md section 2.1 item 21); archives with non-uniform member
-    strides, or a missing toolchain, fall back to the tarfile path.
-    ``native=False`` forces the tarfile path; ``native=True`` raises on
-    failure."""
+    ``native="auto"`` (default) serves member reads through the C++
+    threaded pread pool (data/native_reader.TarNpyMemberSource -- the
+    Ray-lazy-mapper role, SURVEY.md section 2.1 item 21). Archives are
+    indexed LAZILY, one tar at a time on first access (a 44-year archive
+    directory costs nothing at construction and only the months actually
+    read are ever indexed); an archive with non-uniform member strides or
+    a missing toolchain falls back to the tarfile path for that archive
+    only, with a log line naming it. ``native=False`` forces the tarfile
+    path; ``native=True`` raises on the first archive that cannot be
+    served natively."""
 
     def __init__(self, tar_dir: str, crop_south_pole: bool = True,
                  drop_last_channel: bool = True, native="auto"):
@@ -151,18 +154,30 @@ class TarFieldSource:
         self.crop_south_pole = crop_south_pole
         self.drop_last_channel = drop_last_channel
         self._cache: Dict[str, tarfile.TarFile] = {}
-        self._native = None
-        if native in ("auto", True):
-            try:
-                from ladcast_tpu.data.native_reader import TarNpyMemberSource
-                tars = sorted(
-                    os.path.join(tar_dir, f) for f in os.listdir(tar_dir)
-                    if f.endswith(".tar"))
-                if tars:
-                    self._native = TarNpyMemberSource(tars)
-            except Exception:
-                if native is True:
-                    raise
+        self._native_mode = native if native in ("auto", True) else False
+        # per-tar native sources, opened on first touch; None marks a tar
+        # that failed native indexing and uses the tarfile path instead
+        self._native_srcs: Dict[str, object] = {}
+
+    def _native_for(self, tname: str):
+        """Lazily open (and memoize) the native source for one archive."""
+        if not self._native_mode:
+            return None
+        if tname in self._native_srcs:
+            return self._native_srcs[tname]
+        src = None
+        try:
+            from ladcast_tpu.data.native_reader import TarNpyMemberSource
+            src = TarNpyMemberSource([os.path.join(self.tar_dir, tname)])
+        except Exception as e:
+            if self._native_mode is True:
+                raise
+            import logging
+            logging.getLogger(__name__).warning(
+                "native tar reader disabled for %s (%s); "
+                "using tarfile fallback for this archive", tname, e)
+        self._native_srcs[tname] = src
+        return src
 
     def _post(self, arr: np.ndarray) -> np.ndarray:
         # (C, lat, lon) raw member -> framework conventions
@@ -173,39 +188,47 @@ class TarFieldSource:
         return np.moveaxis(arr, 0, -1)
 
     def frames_at(self, ts_ints: Sequence[int]) -> np.ndarray:
-        if self._native is not None:
-            try:
-                idx = [self._native.index_by_name[_member_name(
-                    time_utils.int_to_datetime(int(ts)))]
-                    for ts in ts_ints]
-            except KeyError as e:
-                raise KeyError(f"timestamp not in archive: {e}") from e
-            raw = self._native.frames(np.asarray(idx, np.int64))
-            if self.drop_last_channel:
-                raw = raw[:, :-1]
-            if self.crop_south_pole:
-                raw = raw[:, :, 1:, :]
-            return np.ascontiguousarray(
-                np.moveaxis(raw, 1, -1), dtype=np.float32)
-        out = []
-        for ts in ts_ints:
-            dt = time_utils.int_to_datetime(int(ts))
-            tname = _tar_name(dt)
+        out = [None] * len(ts_ints)
+        # group by archive so each native source is asked once per call
+        by_tar: Dict[str, list] = {}
+        dts = [time_utils.int_to_datetime(int(ts)) for ts in ts_ints]
+        for pos, dt in enumerate(dts):
+            by_tar.setdefault(_tar_name(dt), []).append(pos)
+        for tname, positions in by_tar.items():
+            src = self._native_for(tname)
+            if src is not None:
+                try:
+                    idx = [src.index_by_name[_member_name(dts[p])]
+                           for p in positions]
+                except KeyError as e:
+                    raise KeyError(f"timestamp not in archive: {e}") from e
+                raw = src.frames(np.asarray(idx, np.int64))
+                if self.drop_last_channel:
+                    raw = raw[:, :-1]
+                if self.crop_south_pole:
+                    raw = raw[:, :, 1:, :]
+                raw = np.ascontiguousarray(
+                    np.moveaxis(raw, 1, -1), dtype=np.float32)
+                for j, p in enumerate(positions):
+                    out[p] = raw[j]
+                continue
             if tname not in self._cache:
                 self._cache[tname] = tarfile.open(
                     os.path.join(self.tar_dir, tname), "r")
-            member = self._cache[tname].extractfile(_member_name(dt))
-            arr = np.load(io.BytesIO(member.read()))  # (C, lat, lon)
-            out.append(self._post(arr))
+            for p in positions:
+                member = self._cache[tname].extractfile(_member_name(dts[p]))
+                arr = np.load(io.BytesIO(member.read()))  # (C, lat, lon)
+                out[p] = self._post(arr)
         return np.asarray(out, np.float32)
 
     def close(self):
         for t in self._cache.values():
             t.close()
         self._cache.clear()
-        if self._native is not None:
-            self._native.close()
-            self._native = None
+        for src in self._native_srcs.values():
+            if src is not None:
+                src.close()
+        self._native_srcs.clear()
 
 
 def preprocess_batch(

@@ -89,6 +89,8 @@ def _preprocess_packed(x_packed, cos, sin, w, head_dim: int,
     uses S // block) -- the round-2 wide-block NaN bug.
     """
     B, S, HD = x_packed.shape
+    assert S % 128 == 0, (
+        f"packed seq len {S} must be a 128 multiple (pad before calling)")
     block = min(block, S)
     while S % block:
         block -= 128

@@ -85,6 +85,11 @@ def _zero_spec(leaf, mesh: Mesh) -> P:
     if ndim == 0 or max(shape) < n_dev:
         return P()
     dim = int(max(range(ndim), key=lambda i: shape[i]))
+    if shape[dim] % n_dev != 0:
+        # uneven NamedShardings are rejected by some placement paths on
+        # real multi-host (device_put/make_array_from_process_local_data);
+        # keep such leaves replicated rather than risk a runtime reject
+        return P()
     spec = [None] * ndim
     spec[dim] = tuple(mesh.axis_names)
     return P(*spec)

@@ -159,7 +159,9 @@ def save_comparison_animation(
     vmin = min(np.nanmin(pred), np.nanmin(truth))
     vmax = max(np.nanmax(pred), np.nanmax(truth))
     err = pred - truth
-    emax = np.nanmax(np.abs(err)) or 1.0
+    emax = float(np.nanmax(np.abs(err))) if err.size else 0.0
+    if not np.isfinite(emax) or emax <= 0:  # all-NaN/zero error panel
+        emax = 1.0
 
     fig, axes = plt.subplots(1, 3, figsize=(12, 2.8))
     ims = [
