@@ -213,6 +213,11 @@ class RolloutConfig:
     noise_level: float = 0.0
     latent_target_std: float = 0.5
     sampler_type: str = "edm"  # "edm" (Heun) or "dpm" (multistep pipeline)
+    # Initial-noise scale for the "dpm" sampler: None = sigma_max (the
+    # mathematically consistent start); 1.0 reproduces the reference
+    # "pipeline" sampler exactly, which starts from UNSCALED unit noise
+    # (pipeline_AR.py:77-85; see diffusion/samplers.py docstring).
+    dpm_init_scale: float | None = None
     trajectory_dtype: str = "float32"
     # Opt-in approximate acceleration: extrapolate every skipped Heun
     # correction eval from the last evaluated one (samplers.py docstring;

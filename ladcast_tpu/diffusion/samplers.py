@@ -57,6 +57,7 @@ def edm_heun_sample(
     s_max: float = float("inf"),
     s_noise: float = 0.0,
     churn_key: Optional[jax.Array] = None,
+    churn_noise: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     correction_skip_period: int = 0,
     correction_skip_warmup: int = 2,
@@ -84,11 +85,21 @@ def edm_heun_sample(
     x = noise.astype(dtype) * sigmas[0]
 
     stochastic = s_churn > 0.0
+    inject = churn_noise is not None
     if stochastic:
-        if churn_key is None:
+        if inject:
+            # Test/oracle hook: per-step churn noise supplied by the
+            # caller (matches the reference's injectable ``randn_like``
+            # parameter, pipelines/edm_sampler.py:16) so reference-parity
+            # tests can drive both samplers with identical draws.
+            assert churn_noise.shape == (num_inference_steps, *x.shape), \
+                (churn_noise.shape, (num_inference_steps, *x.shape))
+            step_keys = churn_noise.astype(dtype)
+        elif churn_key is None:
             raise ValueError("churn_key required when s_churn > 0")
+        else:
+            step_keys = jax.random.split(churn_key, num_inference_steps)
         gamma_base = min(s_churn / num_inference_steps, 2.0**0.5 - 1.0)
-        step_keys = jax.random.split(churn_key, num_inference_steps)
     else:
         step_keys = jnp.zeros((num_inference_steps, 2), dtype=jnp.uint32)
 
@@ -112,7 +123,8 @@ def edm_heun_sample(
             in_range = (t_cur >= s_min) & (t_cur <= s_max)
             gamma = jnp.where(in_range, gamma_base, 0.0)
             t_hat = t_cur + gamma * t_cur
-            eps = jax.random.normal(key, x_cur.shape, dtype=x_cur.dtype)
+            eps = key if inject else jax.random.normal(
+                key, x_cur.shape, dtype=x_cur.dtype)
             x_hat = x_cur + jnp.sqrt(t_hat**2 - t_cur**2) * s_noise * eps
         else:
             t_hat = t_cur
@@ -146,7 +158,8 @@ def edm_heun_sample(
         in_range = (t_cur >= s_min) & (t_cur <= s_max)
         gamma = jnp.where(in_range, gamma_base, 0.0)
         t_hat = t_cur + gamma * t_cur
-        eps = jax.random.normal(step_keys[-1], x.shape, dtype=x.dtype)
+        eps = step_keys[-1] if inject else jax.random.normal(
+            step_keys[-1], x.shape, dtype=x.dtype)
         x = x + jnp.sqrt(t_hat**2 - t_cur**2) * s_noise * eps
         t_cur = t_hat
     d1 = (x - denoised_fn(x, t_cur)) / t_cur
@@ -161,17 +174,31 @@ def dpm_multistep_sample(
     num_inference_steps: int,
     *,
     dtype=jnp.float32,
+    init_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """DPM-Solver++ 2M sampling (diffusers EDMDPMSolverMultistepScheduler
     with solver_order=2, solver_type='midpoint', final_sigmas_type='zero').
 
     First step and final step use the 1st-order update (the scheduler's
     ``lower_order_nums`` warmup and ``lower_order_final`` rule); middle
-    steps use the 2M midpoint update.
+    steps use the 2M midpoint update. The step math is oracle-verified
+    against the actual reference pipeline (tests/test_oracle_samplers.py).
+
+    ``init_scale``: multiplier applied to the unit Gaussian ``noise`` to
+    form x0. Default (None) uses sigma_max -- the mathematically correct
+    start for a flow whose first step assumes sigma = sigmas[0]. NOTE a
+    documented deviation from the reference here: its "pipeline"/"ms"
+    sampler starts from UNSCALED unit noise (pipeline_AR.py:77-85 never
+    multiplies by scheduler.init_noise_sigma), which contracts the
+    ensemble spread by ~sigma_max/sigma_data (the flow treats the std-1
+    start as if it were std-80) -- likely why the reference defaults to
+    the 'edm' sampler (pred_rollout.py:183). Pass ``init_scale=1.0`` to
+    reproduce that reference behavior exactly.
     """
     assert cfg.solver_order == 2 and cfg.solver_type == "midpoint"
     sigmas = edm.inference_sigmas(cfg, num_inference_steps, dtype=dtype)
-    x = noise.astype(dtype) * sigmas[0]
+    x = noise.astype(dtype) * (sigmas[0] if init_scale is None
+                               else jnp.asarray(init_scale, dtype))
 
     # lambda(sigma) = -log(sigma); guard the trailing zero sigma.
     log_sigmas = jnp.log(jnp.maximum(sigmas, jnp.finfo(dtype).tiny))

@@ -56,12 +56,21 @@ def ensemble_rollout(
     cfg: RolloutConfig,
     *,
     latent_std: Optional[jnp.ndarray] = None,  # (C,) physical latent std
+    rep_noise: Optional[jnp.ndarray] = None,
+    pert_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the full AR ensemble forecast.
 
     Returns (E, num_repetitions * return_seq_len, H, W, C) normalized
     latent frames (lead times step_size_hour .. total; the t=0 frame is the
     caller's input, as in pipelines/utils.py:486-505).
+
+    ``rep_noise`` (n_reps, E, T_out, H, W, C) / ``pert_noise``
+    (T_in, H, W, C): optional caller-supplied Gaussian draws replacing the
+    internally generated sampler/perturbation noise -- the injection hook
+    the reference-parity golden-rollout oracle uses to drive this engine
+    and the actual reference ensemble_AR_sampler loop with identical
+    randomness (tests/test_oracle_rollout.py).
     """
     E, T_in, H, W, C = known_latents.shape
     T_out = cfg.return_seq_len
@@ -71,19 +80,30 @@ def ensemble_rollout(
 
     key, pert_key = jax.random.split(key)
     if cfg.noise_level > 0:
-        # Initial-latent perturbation (pipelines/utils.py:518-528): noise
-        # scaled by noise_level * per-channel PHYSICAL latent std, added in
-        # normalized space (reference semantics preserved verbatim).
+        # Initial-latent perturbation (pipelines/utils.py:514-528): ONE
+        # noise draw scaled by noise_level * per-channel PHYSICAL latent
+        # std, added in normalized space and SHARED by all ensemble
+        # members -- the reference perturbs the (C,T,H,W) initial latent
+        # BEFORE the member broadcast inside ensemble_AR_sampler
+        # (utils.py:705-712). Oracle-pinned by test_oracle_rollout.
         assert latent_std is not None
-        pert = member_noise(pert_key, E, (T_in, H, W, C),
-                            known_latents.dtype)
+        pert = (pert_noise.astype(known_latents.dtype)
+                if pert_noise is not None else
+                jax.random.normal(pert_key, (T_in, H, W, C),
+                                  known_latents.dtype))
         known_latents = known_latents + pert * cfg.noise_level * latent_std
 
     rep_keys = jax.random.split(key, n_reps)
+    if rep_noise is not None:
+        assert rep_noise.shape == (n_reps, E, T_out, H, W, C), rep_noise.shape
+        rep_xs = rep_noise.astype(traj_dtype)
+    else:
+        rep_xs = rep_keys
 
     def one_repetition(known, inputs):
         rep_key, yp = inputs
-        noise = member_noise(rep_key, E, (T_out, H, W, C), traj_dtype)
+        noise = (rep_key if rep_noise is not None else
+                 member_noise(rep_key, E, (T_out, H, W, C), traj_dtype))
 
         yp_b = jnp.broadcast_to(yp, (E,))
 
@@ -106,7 +126,7 @@ def ensemble_rollout(
         elif cfg.sampler_type == "dpm":
             samples = dpm_multistep_sample(
                 sched_cfg, denoised_fn, noise, cfg.num_inference_steps,
-                dtype=traj_dtype)
+                dtype=traj_dtype, init_scale=cfg.dpm_init_scale)
         else:
             raise ValueError(cfg.sampler_type)
 
@@ -115,7 +135,7 @@ def ensemble_rollout(
         return new_known, samples
 
     _, traj = jax.lax.scan(one_repetition, known_latents,
-                           (rep_keys, year_progress))
+                           (rep_xs, year_progress))
     # (n_reps, E, T_out, H, W, C) -> (E, n_reps*T_out, H, W, C)
     traj = jnp.moveaxis(traj, 0, 1).reshape(E, n_reps * T_out, H, W, C)
     return traj[:, : cfg.total_num_steps]
@@ -167,7 +187,8 @@ def make_repetition_fn(sched_cfg: EDMSchedulerConfig, cfg: RolloutConfig):
         else:
             samples = dpm_multistep_sample(sched_cfg, denoised_fn, noise,
                                            cfg.num_inference_steps,
-                                           dtype=traj_dtype)
+                                           dtype=traj_dtype,
+                                           init_scale=cfg.dpm_init_scale)
         samples = samples.astype(known.dtype)
         return samples[:, -T_in:], samples
 

@@ -54,23 +54,40 @@ class ConfigMixin:
         return self._shim_config
 
     def register_to_config(self, **kwargs):
-        self._shim_config = FrozenDict(kwargs)
+        # diffusers merges repeated registrations into the existing config
+        # (the EDM scheduler amends algorithm_type/solver_type in __init__)
+        merged = dict(getattr(self, "_shim_config", {}))
+        merged.update(kwargs)
+        object.__setattr__(self, "_shim_config", FrozenDict(merged))
 
 
 def register_to_config(init):
+    # diffusers registers the config BEFORE running the wrapped __init__
+    # body (the EDM scheduler reads self.config inside __init__)
     @functools.wraps(init)
     def wrapped(self, *args, **kwargs):
         sig = inspect.signature(init)
         bound = sig.bind(self, *args, **kwargs)
         bound.apply_defaults()
         cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
-        init(self, *args, **kwargs)
         object.__setattr__(self, "_shim_config", FrozenDict(cfg))
+        init(self, *args, **kwargs)
     return wrapped
 
 
 class ModelMixin(nn.Module):
-    pass
+    @property
+    def dtype(self) -> torch.dtype:
+        # diffusers ModelMixin.dtype: dtype of the first parameter
+        for p in self.parameters():
+            return p.dtype
+        return torch.float32
+
+    @property
+    def device(self) -> torch.device:
+        for p in self.parameters():
+            return p.device
+        return torch.device("cpu")
 
 
 class FromOriginalModelMixin:
@@ -516,6 +533,573 @@ class AttentionProcessor:
 
 
 # ---------------------------------------------------------------------------
+# torch_utils.randn_tensor (diffusers/utils/torch_utils.py v0.32.1)
+# ---------------------------------------------------------------------------
+
+
+def randn_tensor(shape, generator=None, device=None, dtype=None, layout=None):
+    """Per-batch-member generator semantics: a list of generators draws each
+    member's noise independently (the reference's reproducible-ensemble
+    contract, pipelines/utils.py:703-705)."""
+    rand_device = device
+    batch_size = shape[0]
+
+    layout = layout or torch.strided
+    device = device or torch.device("cpu")
+
+    if generator is not None:
+        gen_device_type = (generator.device.type if not isinstance(generator, list)
+                           else generator[0].device.type)
+        if gen_device_type != device.type and gen_device_type == "cpu":
+            rand_device = "cpu"
+        elif gen_device_type != device.type and gen_device_type == "cuda":
+            raise ValueError(
+                f"Cannot generate a {device} tensor from a generator of type "
+                f"{gen_device_type}.")
+
+    if isinstance(generator, list) and len(generator) == 1:
+        generator = generator[0]
+
+    if isinstance(generator, list):
+        shape = (1,) + tuple(shape[1:])
+        latents = [
+            torch.randn(shape, generator=generator[i], device=rand_device,
+                        dtype=dtype, layout=layout)
+            for i in range(batch_size)
+        ]
+        latents = torch.cat(latents, dim=0).to(device)
+    else:
+        latents = torch.randn(shape, generator=generator, device=rand_device,
+                              dtype=dtype, layout=layout).to(device)
+
+    return latents
+
+
+# ---------------------------------------------------------------------------
+# EDMDPMSolverMultistepScheduler
+# (diffusers/schedulers/scheduling_edm_dpmsolver_multistep.py v0.32.1)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SchedulerOutput:
+    prev_sample: torch.Tensor
+
+
+class SchedulerMixin:
+    pass
+
+
+class EDMDPMSolverMultistepScheduler(SchedulerMixin, ConfigMixin):
+    """Transcription of the public diffusers v0.32.1 scheduler the
+    reference depends on (instantiated `diffusers.EDMDPMSolverMultistep
+    Scheduler(sigma_data=0.5, num_train_timesteps=1000)` at reference
+    pred_rollout.py:49-52 / configs/ladcast_375M.yaml:33-36; consumed by
+    pipelines/edm_sampler.py, pipelines/pipeline_AR.py, models/utils.py
+    and train_AR.py:911-977)."""
+
+    order = 1
+
+    @register_to_config
+    def __init__(
+        self,
+        sigma_min: float = 0.002,
+        sigma_max: float = 80.0,
+        sigma_data: float = 0.5,
+        sigma_schedule: str = "karras",
+        num_train_timesteps: int = 1000,
+        prediction_type: str = "epsilon",
+        rho: float = 7.0,
+        solver_order: int = 2,
+        thresholding: bool = False,
+        dynamic_thresholding_ratio: float = 0.995,
+        sample_max_value: float = 1.0,
+        algorithm_type: str = "dpmsolver++",
+        solver_type: str = "midpoint",
+        lower_order_final: bool = True,
+        euler_at_final: bool = False,
+        final_sigmas_type: Optional[str] = "zero",
+    ):
+        # settings for DPM-Solver
+        if algorithm_type not in ["dpmsolver++", "sde-dpmsolver++"]:
+            if algorithm_type in ["deis"]:
+                self.register_to_config(algorithm_type="dpmsolver++")
+            else:
+                raise NotImplementedError(
+                    f"{algorithm_type} is not implemented for {self.__class__}")
+
+        if solver_type not in ["midpoint", "heun"]:
+            if solver_type in ["logrho", "bh1", "bh2"]:
+                self.register_to_config(solver_type="midpoint")
+            else:
+                raise NotImplementedError(
+                    f"{solver_type} is not implemented for {self.__class__}")
+
+        if algorithm_type not in ["dpmsolver++", "sde-dpmsolver++"] \
+                and final_sigmas_type == "zero":
+            raise ValueError(
+                f"`final_sigmas_type` {final_sigmas_type} is not supported "
+                f"for `algorithm_type` {algorithm_type}.")
+
+        ramp = torch.linspace(0, 1, num_train_timesteps)
+        if sigma_schedule == "karras":
+            sigmas = self._compute_karras_sigmas(ramp)
+        elif sigma_schedule == "exponential":
+            sigmas = self._compute_exponential_sigmas(ramp)
+
+        self.timesteps = self.precondition_noise(sigmas)
+
+        self.sigmas = torch.cat([sigmas, torch.zeros(1, device=sigmas.device)])
+
+        # setable values
+        self.num_inference_steps = None
+        self.model_outputs = [None] * solver_order
+        self.lower_order_nums = 0
+        self._step_index = None
+        self._begin_index = None
+        self.sigmas = self.sigmas.to("cpu")
+
+    @property
+    def init_noise_sigma(self):
+        # standard deviation of the initial noise distribution
+        return (self.config.sigma_max**2 + 1) ** 0.5
+
+    @property
+    def step_index(self):
+        return self._step_index
+
+    @property
+    def begin_index(self):
+        return self._begin_index
+
+    def set_begin_index(self, begin_index: int = 0):
+        self._begin_index = begin_index
+
+    def precondition_inputs(self, sample, sigma):
+        c_in = 1 / ((sigma**2 + self.config.sigma_data**2) ** 0.5)
+        scaled_sample = sample * c_in
+        return scaled_sample
+
+    def precondition_noise(self, sigma):
+        if not isinstance(sigma, torch.Tensor):
+            sigma = torch.tensor([sigma])
+
+        c_noise = 0.25 * torch.log(sigma)
+
+        return c_noise
+
+    def precondition_outputs(self, sample, model_output, sigma):
+        sigma_data = self.config.sigma_data
+        c_skip = sigma_data**2 / (sigma**2 + sigma_data**2)
+
+        if self.config.prediction_type == "epsilon":
+            c_out = sigma * sigma_data / (sigma**2 + sigma_data**2) ** 0.5
+        elif self.config.prediction_type == "v_prediction":
+            c_out = -sigma * sigma_data / (sigma**2 + sigma_data**2) ** 0.5
+        else:
+            raise ValueError(
+                f"Prediction type {self.config.prediction_type} is not supported.")
+
+        denoised = c_skip * sample + c_out * model_output
+
+        return denoised
+
+    def scale_model_input(self, sample, timestep):
+        if self.step_index is None:
+            self._init_step_index(timestep)
+
+        sigma = self.sigmas[self.step_index]
+        sample = self.precondition_inputs(sample, sigma)
+
+        self.is_scale_input_called = True
+        return sample
+
+    def set_timesteps(self, num_inference_steps: int = None, device=None):
+        self.num_inference_steps = num_inference_steps
+
+        ramp = torch.linspace(0, 1, self.num_inference_steps)
+        if self.config.sigma_schedule == "karras":
+            sigmas = self._compute_karras_sigmas(ramp)
+        elif self.config.sigma_schedule == "exponential":
+            sigmas = self._compute_exponential_sigmas(ramp)
+
+        sigmas = sigmas.to(dtype=torch.float32, device=device)
+        self.timesteps = self.precondition_noise(sigmas)
+
+        if self.config.final_sigmas_type == "sigma_min":
+            sigma_last = self.config.sigma_min
+        elif self.config.final_sigmas_type == "zero":
+            sigma_last = 0
+        else:
+            raise ValueError(
+                "`final_sigmas_type` must be one of 'zero', or 'sigma_min', "
+                f"but got {self.config.final_sigmas_type}")
+
+        self.sigmas = torch.cat(
+            [sigmas, torch.full((1,), fill_value=sigma_last,
+                                device=sigmas.device)])
+
+        self.model_outputs = [None] * self.config.solver_order
+        self.lower_order_nums = 0
+
+        # add an index counter for schedulers that allow duplicated timesteps
+        self._step_index = None
+        self._begin_index = None
+        self.sigmas = self.sigmas.to("cpu")
+
+    def _compute_karras_sigmas(self, ramp, sigma_min=None, sigma_max=None
+                               ) -> torch.Tensor:
+        """Constructs the noise schedule of Karras et al. (2022)."""
+        sigma_min = sigma_min or self.config.sigma_min
+        sigma_max = sigma_max or self.config.sigma_max
+
+        rho = self.config.rho
+        min_inv_rho = sigma_min ** (1 / rho)
+        max_inv_rho = sigma_max ** (1 / rho)
+        sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+        return sigmas
+
+    def _compute_exponential_sigmas(self, ramp, sigma_min=None, sigma_max=None
+                                    ) -> torch.Tensor:
+        sigma_min = sigma_min or self.config.sigma_min
+        sigma_max = sigma_max or self.config.sigma_max
+        sigmas = torch.linspace(math.log(sigma_min), math.log(sigma_max),
+                                len(ramp)).exp().flip(0)
+        return sigmas
+
+    def _threshold_sample(self, sample):
+        dtype = sample.dtype
+        batch_size, channels, *remaining_dims = sample.shape
+
+        if dtype not in (torch.float32, torch.float64):
+            sample = sample.float()
+
+        sample = sample.reshape(batch_size,
+                                channels * int(np.prod(remaining_dims)))
+
+        abs_sample = sample.abs()
+
+        s = torch.quantile(abs_sample,
+                           self.config.dynamic_thresholding_ratio, dim=1)
+        s = torch.clamp(s, min=1, max=self.config.sample_max_value)
+        s = s.unsqueeze(1)
+        sample = torch.clamp(sample, -s, s) / s
+
+        sample = sample.reshape(batch_size, channels, *remaining_dims)
+        sample = sample.to(dtype)
+
+        return sample
+
+    def _sigma_to_t(self, sigma):
+        return 0.25 * sigma.log()
+
+    def _sigma_to_alpha_sigma_t(self, sigma):
+        alpha_t = torch.tensor(1)  # Inputs are pre-scaled before going into
+        # unet, so alpha_t = 1
+        sigma_t = sigma
+
+        return alpha_t, sigma_t
+
+    def convert_model_output(self, model_output, sample=None):
+        sigma = self.sigmas[self.step_index]
+        x0_pred = self.precondition_outputs(sample, model_output, sigma)
+
+        if self.config.thresholding:
+            x0_pred = self._threshold_sample(x0_pred)
+
+        return x0_pred
+
+    def dpm_solver_first_order_update(self, model_output, sample=None,
+                                      noise=None):
+        sigma_t, sigma_s = self.sigmas[self.step_index + 1], \
+            self.sigmas[self.step_index]
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma_t)
+        alpha_s, sigma_s = self._sigma_to_alpha_sigma_t(sigma_s)
+        lambda_t = torch.log(alpha_t) - torch.log(sigma_t)
+        lambda_s = torch.log(alpha_s) - torch.log(sigma_s)
+
+        h = lambda_t - lambda_s
+        if self.config.algorithm_type == "dpmsolver++":
+            x_t = (sigma_t / sigma_s) * sample - \
+                (alpha_t * (torch.exp(-h) - 1.0)) * model_output
+        elif self.config.algorithm_type == "sde-dpmsolver++":
+            assert noise is not None
+            x_t = (
+                (sigma_t / sigma_s * torch.exp(-h)) * sample
+                + (alpha_t * (1 - torch.exp(-2.0 * h))) * model_output
+                + sigma_t * torch.sqrt(1.0 - torch.exp(-2 * h)) * noise
+            )
+
+        return x_t
+
+    def multistep_dpm_solver_second_order_update(self, model_output_list,
+                                                 sample=None, noise=None):
+        sigma_t, sigma_s0, sigma_s1 = (
+            self.sigmas[self.step_index + 1],
+            self.sigmas[self.step_index],
+            self.sigmas[self.step_index - 1],
+        )
+
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma_t)
+        alpha_s0, sigma_s0 = self._sigma_to_alpha_sigma_t(sigma_s0)
+        alpha_s1, sigma_s1 = self._sigma_to_alpha_sigma_t(sigma_s1)
+
+        lambda_t = torch.log(alpha_t) - torch.log(sigma_t)
+        lambda_s0 = torch.log(alpha_s0) - torch.log(sigma_s0)
+        lambda_s1 = torch.log(alpha_s1) - torch.log(sigma_s1)
+
+        m0, m1 = model_output_list[-1], model_output_list[-2]
+
+        h, h_0 = lambda_t - lambda_s0, lambda_s0 - lambda_s1
+        r0 = h_0 / h
+        D0, D1 = m0, (1.0 / r0) * (m0 - m1)
+        if self.config.algorithm_type == "dpmsolver++":
+            # See https://arxiv.org/abs/2211.01095 for detailed derivations
+            if self.config.solver_type == "midpoint":
+                x_t = (
+                    (sigma_t / sigma_s0) * sample
+                    - (alpha_t * (torch.exp(-h) - 1.0)) * D0
+                    - 0.5 * (alpha_t * (torch.exp(-h) - 1.0)) * D1
+                )
+            elif self.config.solver_type == "heun":
+                x_t = (
+                    (sigma_t / sigma_s0) * sample
+                    - (alpha_t * (torch.exp(-h) - 1.0)) * D0
+                    + (alpha_t * ((torch.exp(-h) - 1.0) / h + 1.0)) * D1
+                )
+        elif self.config.algorithm_type == "sde-dpmsolver++":
+            assert noise is not None
+            if self.config.solver_type == "midpoint":
+                x_t = (
+                    (sigma_t / sigma_s0 * torch.exp(-h)) * sample
+                    + (alpha_t * (1 - torch.exp(-2.0 * h))) * D0
+                    + 0.5 * (alpha_t * (1 - torch.exp(-2.0 * h))) * D1
+                    + sigma_t * torch.sqrt(1.0 - torch.exp(-2 * h)) * noise
+                )
+            elif self.config.solver_type == "heun":
+                x_t = (
+                    (sigma_t / sigma_s0 * torch.exp(-h)) * sample
+                    + (alpha_t * (1 - torch.exp(-2.0 * h))) * D0
+                    + (alpha_t * ((1.0 - torch.exp(-2.0 * h)) / (-2.0 * h)
+                                  + 1.0)) * D1
+                    + sigma_t * torch.sqrt(1.0 - torch.exp(-2 * h)) * noise
+                )
+
+        return x_t
+
+    def multistep_dpm_solver_third_order_update(self, model_output_list,
+                                                sample=None):
+        sigma_t, sigma_s0, sigma_s1, sigma_s2 = (
+            self.sigmas[self.step_index + 1],
+            self.sigmas[self.step_index],
+            self.sigmas[self.step_index - 1],
+            self.sigmas[self.step_index - 2],
+        )
+
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma_t)
+        alpha_s0, sigma_s0 = self._sigma_to_alpha_sigma_t(sigma_s0)
+        alpha_s1, sigma_s1 = self._sigma_to_alpha_sigma_t(sigma_s1)
+        alpha_s2, sigma_s2 = self._sigma_to_alpha_sigma_t(sigma_s2)
+
+        lambda_t = torch.log(alpha_t) - torch.log(sigma_t)
+        lambda_s0 = torch.log(alpha_s0) - torch.log(sigma_s0)
+        lambda_s1 = torch.log(alpha_s1) - torch.log(sigma_s1)
+        lambda_s2 = torch.log(alpha_s2) - torch.log(sigma_s2)
+
+        m0, m1, m2 = model_output_list[-1], model_output_list[-2], \
+            model_output_list[-3]
+
+        h, h_0, h_1 = lambda_t - lambda_s0, lambda_s0 - lambda_s1, \
+            lambda_s1 - lambda_s2
+        r0, r1 = h_0 / h, h_1 / h
+        D0 = m0
+        D1_0, D1_1 = (1.0 / r0) * (m0 - m1), (1.0 / r1) * (m1 - m2)
+        D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+        D2 = (1.0 / (r0 + r1)) * (D1_0 - D1_1)
+
+        if self.config.algorithm_type == "dpmsolver++":
+            x_t = (
+                (sigma_t / sigma_s0) * sample
+                - (alpha_t * (torch.exp(-h) - 1.0)) * D0
+                + (alpha_t * ((torch.exp(-h) - 1.0) / h + 1.0)) * D1
+                - (alpha_t * ((torch.exp(-h) - 1.0 + h) / h**2 - 0.5)) * D2
+            )
+        else:
+            raise NotImplementedError(self.config.algorithm_type)
+
+        return x_t
+
+    def index_for_timestep(self, timestep, schedule_timesteps=None):
+        if schedule_timesteps is None:
+            schedule_timesteps = self.timesteps
+
+        index_candidates = (schedule_timesteps == timestep).nonzero()
+
+        if len(index_candidates) == 0:
+            step_index = len(self.timesteps) - 1
+        # The sigma index that is taken for the **very** first `step`
+        # is always the second index (or the last index if there is only 1)
+        # This way we can ensure we don't accidentally skip a sigma in
+        # case we start in the middle of the denoising schedule (e.g. for
+        # image-to-image)
+        elif len(index_candidates) > 1:
+            step_index = index_candidates[1].item()
+        else:
+            step_index = index_candidates[0].item()
+
+        return step_index
+
+    def _init_step_index(self, timestep):
+        if self.begin_index is None:
+            if isinstance(timestep, torch.Tensor):
+                timestep = timestep.to(self.timesteps.device)
+            self._step_index = self.index_for_timestep(timestep)
+        else:
+            self._step_index = self._begin_index
+
+    def step(self, model_output, timestep, sample, generator=None,
+             return_dict: bool = True):
+        if self.num_inference_steps is None:
+            raise ValueError(
+                "Number of inference steps is 'None', you need to run "
+                "'set_timesteps' after creating the scheduler")
+
+        if self.step_index is None:
+            self._init_step_index(timestep)
+
+        # Improve numerical stability for small number of steps
+        lower_order_final = (self.step_index == len(self.timesteps) - 1) and (
+            self.config.euler_at_final
+            or (self.config.lower_order_final and len(self.timesteps) < 15)
+            or self.config.final_sigmas_type == "zero"
+        )
+        lower_order_second = (
+            (self.step_index == len(self.timesteps) - 2)
+            and self.config.lower_order_final and len(self.timesteps) < 15
+        )
+
+        model_output = self.convert_model_output(model_output, sample=sample)
+        for i in range(self.config.solver_order - 1):
+            self.model_outputs[i] = self.model_outputs[i + 1]
+        self.model_outputs[-1] = model_output
+
+        if self.config.algorithm_type == "sde-dpmsolver++":
+            noise = randn_tensor(
+                model_output.shape, generator=generator,
+                device=model_output.device, dtype=torch.float32)
+        else:
+            noise = None
+
+        if self.config.solver_order == 1 or self.lower_order_nums < 1 \
+                or lower_order_final:
+            prev_sample = self.dpm_solver_first_order_update(
+                model_output, sample=sample, noise=noise)
+        elif self.config.solver_order == 2 or self.lower_order_nums < 2 \
+                or lower_order_second:
+            prev_sample = self.multistep_dpm_solver_second_order_update(
+                self.model_outputs, sample=sample, noise=noise)
+        else:
+            prev_sample = self.multistep_dpm_solver_third_order_update(
+                self.model_outputs, sample=sample)
+
+        if self.lower_order_nums < self.config.solver_order:
+            self.lower_order_nums += 1
+
+        # upon completion increase step index by one
+        self._step_index += 1
+
+        if not return_dict:
+            return (prev_sample,)
+
+        return SchedulerOutput(prev_sample=prev_sample)
+
+    def add_noise(self, original_samples, noise, timesteps):
+        sigmas = self.sigmas.to(device=original_samples.device,
+                                dtype=original_samples.dtype)
+        schedule_timesteps = self.timesteps.to(original_samples.device)
+        timesteps = timesteps.to(original_samples.device)
+
+        # begin_index is None when the scheduler is used for training or
+        # the pipeline does not implement set_begin_index
+        if self.begin_index is None:
+            step_indices = [self.index_for_timestep(t, schedule_timesteps)
+                            for t in timesteps]
+        elif self.step_index is not None:
+            # add_noise is called after first denoising step (for inpainting)
+            step_indices = [self.step_index] * timesteps.shape[0]
+        else:
+            # add noise is called before first denoising step to create
+            # initial latent (img2img)
+            step_indices = [self.begin_index] * timesteps.shape[0]
+
+        sigma = sigmas[step_indices].flatten()
+        while len(sigma.shape) < len(original_samples.shape):
+            sigma = sigma.unsqueeze(-1)
+
+        noisy_samples = original_samples + noise * sigma
+        return noisy_samples
+
+    def __len__(self):
+        return self.config.num_train_timesteps
+
+
+# ---------------------------------------------------------------------------
+# pipeline_utils.DiffusionPipeline -- the minimal surface pipeline_AR.py
+# touches (register_modules, _execution_device, dtype lookup)
+# ---------------------------------------------------------------------------
+
+
+class DiffusionPipeline(ConfigMixin):
+    def __init__(self):
+        super().__init__()
+        if not hasattr(self, "_shim_config"):
+            object.__setattr__(self, "_shim_config", FrozenDict({}))
+        self._shim_modules = {}
+
+    def register_modules(self, **kwargs):
+        for name, module in kwargs.items():
+            setattr(self, name, module)
+            self._shim_modules[name] = module
+        self.register_to_config(
+            **{k: (type(v).__name__ if v is not None else None)
+               for k, v in kwargs.items()})
+
+    @property
+    def _execution_device(self):
+        for module in self._shim_modules.values():
+            if isinstance(module, nn.Module):
+                for p in module.parameters():
+                    return p.device
+        return torch.device("cpu")
+
+    @property
+    def device(self):
+        return self._execution_device
+
+
+class BaseOutput:
+    """Light stand-in for diffusers BaseOutput: dataclass subclasses get
+    attribute access (native) plus tuple-style integer indexing."""
+
+    def __getitem__(self, k):
+        if isinstance(k, int):
+            return list(self.__dict__.values())[k]
+        return getattr(self, k)
+
+    def to_tuple(self):
+        return tuple(self.__dict__.values())
+
+
+class _SchedulerType:
+    pass
+
+
+def _get_scheduler_stub(*args, **kwargs):
+    raise NotImplementedError(
+        "diffusers.optimization.get_scheduler is not part of the oracle shim")
+
+
+# ---------------------------------------------------------------------------
 # utils
 # ---------------------------------------------------------------------------
 
@@ -588,9 +1172,23 @@ def install():
         DecoderOutput=DecoderOutput, AutoencoderMixin=AutoencoderMixin)
     mod("diffusers.utils", USE_PEFT_BACKEND=False,
         is_torch_version=is_torch_version, logging=_Logging,
-        scale_lora_layers=_noop, unscale_lora_layers=_noop)
+        scale_lora_layers=_noop, unscale_lora_layers=_noop,
+        BaseOutput=BaseOutput)
     mod("diffusers.utils.torch_utils",
-        maybe_allow_in_graph=_identity_decorator)
+        maybe_allow_in_graph=_identity_decorator,
+        randn_tensor=randn_tensor)
     mod("diffusers.utils.accelerate_utils",
         apply_forward_hook=_identity_decorator)
+    mod("diffusers.schedulers",
+        EDMDPMSolverMultistepScheduler=EDMDPMSolverMultistepScheduler)
+    mod("diffusers.schedulers.scheduling_utils",
+        SchedulerMixin=SchedulerMixin, SchedulerOutput=SchedulerOutput)
+    mod("diffusers.pipelines")
+    mod("diffusers.pipelines.pipeline_utils",
+        DiffusionPipeline=DiffusionPipeline)
+    mod("diffusers.optimization",
+        SchedulerType=_SchedulerType, get_scheduler=_get_scheduler_stub,
+        get_polynomial_decay_schedule_with_warmup=_get_scheduler_stub)
+    root.EDMDPMSolverMultistepScheduler = EDMDPMSolverMultistepScheduler
+    root.DiffusionPipeline = DiffusionPipeline
     root.__shim__ = True

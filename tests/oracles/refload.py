@@ -1,11 +1,13 @@
-"""Load reference model modules from /root/reference with the diffusers
-shim installed, so the ACTUAL reference torch code (not a transcription)
+"""Load reference modules from /root/reference with the diffusers shim
+installed, so the ACTUAL reference torch code (not a transcription)
 serves as the parity oracle.
 
-Only torch-level model files are loadable this way (LaDCast_3D_model,
-DCAE, sphere_conv, embeddings, and the evaluate.utils lat-weight helpers);
-pipeline/training files additionally need accelerate/xarray data plumbing
-and are not oracle targets.
+Loadable oracle targets: the torch model files (LaDCast_3D_model, DCAE,
+sphere_conv, embeddings, evaluate.utils lat-weight helpers) AND -- since
+the round-3 scheduler shim -- the sampler/pipeline stack
+(pipelines.edm_sampler, pipelines.pipeline_AR, pipelines.utils
+ensemble_AR_sampler, models.utils Karras_sigmas_lognormal). Training
+scripts still need accelerate and are not oracle targets.
 """
 
 from __future__ import annotations
@@ -17,9 +19,11 @@ import types
 REF_ROOT = "/root/reference"
 
 
-def _stub_module(name: str):
+def _stub_module(name: str, **attrs):
     if name not in sys.modules:
         m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
         m.__shim__ = True
         sys.modules[name] = m
 
@@ -29,12 +33,16 @@ def load_reference(module: str):
     from tests.oracles import diffusers_shim
 
     diffusers_shim.install()
-    # ladcast.evaluate.utils imports xarray at module scope but the
-    # lat-weight helpers the models need are numpy/torch-only.
+    # xarray is absent from this image; reference dataloader/pipeline
+    # modules import it at module scope and reference xr.Dataset in
+    # def-time-evaluated signatures, but the oracle code paths exercised
+    # here (samplers, models, transforms on torch tensors) never touch it.
     try:
         import xarray  # noqa: F401
     except ImportError:
-        _stub_module("xarray")
+        _stub_module("xarray",
+                     Dataset=type("Dataset", (), {}),
+                     DataArray=type("DataArray", (), {}))
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     return importlib.import_module(module)

@@ -52,10 +52,16 @@ def test_noise_level_perturbation_changes_members_differently():
     b = ensemble_rollout(net_fn, known, yp, jax.random.PRNGKey(2), SCHED,
                          cfg1, latent_std=std)
     assert not np.allclose(np.asarray(a), np.asarray(b))
-    # per-member perturbations differ (identical initial conditions)
+    # every member is affected; the perturbation itself is ONE draw shared
+    # by all members (reference utils.py:514-528 perturbs before the member
+    # broadcast -- full-trajectory semantics pinned by test_oracle_rollout)
     d0 = np.abs(np.asarray(a[0]) - np.asarray(b[0])).mean()
     d1 = np.abs(np.asarray(a[1]) - np.asarray(b[1])).mean()
-    assert d0 > 0 and d1 > 0 and not np.isclose(d0, d1)
+    assert d0 > 0 and d1 > 0
+    # determinism under the same key
+    b2 = ensemble_rollout(net_fn, known, yp, jax.random.PRNGKey(2), SCHED,
+                          cfg1, latent_std=std)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(b2))
 
 
 def test_multi_frame_feedback():
