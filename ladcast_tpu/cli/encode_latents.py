@@ -33,9 +33,8 @@ def main(argv=None):
     from ladcast_tpu.cli.pred_rollout import _load_any_params, \
         open_field_source
 
-    cfg = DCAEConfig()
+    params, cfg = _load_any_params(args.dcae_params, "dcae", DCAEConfig())
     dcae = AutoencoderDC(cfg)
-    params = _load_any_params(args.dcae_params, "dcae", cfg)
     static = jnp.asarray(static_data.static_conditioning_tensor(layout="HWC"))
     fm, fs = static_data.era5_mean_std()
 

@@ -40,9 +40,8 @@ def main(argv=None):
     from ladcast_tpu.cli.pred_rollout import open_field_source, \
         _load_any_params
 
-    cfg = DCAEConfig()
+    params, cfg = _load_any_params(args.dcae_params, "dcae", DCAEConfig())
     dcae = AutoencoderDC(cfg)
-    params = _load_any_params(args.dcae_params, "dcae", cfg)
     statics = jnp.asarray(static_data.static_conditioning_tensor(layout="HWC"))
     fm, fs = static_data.era5_mean_std()
     fm_j, fs_j = jnp.asarray(fm), jnp.asarray(fs)

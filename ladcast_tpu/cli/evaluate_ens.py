@@ -99,9 +99,9 @@ def main(argv=None):
     from ladcast_tpu.cli.pred_rollout import _load_any_params, \
         open_field_source
 
-    dcae_cfg = DCAEConfig()
+    dcae_params, dcae_cfg = _load_any_params(
+        args.dcae_params, "dcae", DCAEConfig())
     dcae = AutoencoderDC(dcae_cfg)
-    dcae_params = _load_any_params(args.dcae_params, "dcae", dcae_cfg)
     # npz bundle / zarr store / monthly-tar dir, same as pred_rollout
     truth_src, _ = open_field_source(args.truth)
     clim = np.load(args.climatology)["clim"] if args.climatology else None

@@ -110,9 +110,17 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True, help="ERA5 zarr or .npz bundle")
     ap.add_argument("--dit_params", required=True,
-                    help="orbax params dir or .safetensors (reference fmt)")
+                    help="orbax params dir, .safetensors file, or a "
+                         "diffusers model/training-checkpoint directory "
+                         "(config taken from its config.json)")
     ap.add_argument("--dcae_params", required=True)
-    ap.add_argument("--model", default="375M", choices=["375M", "1.6B"])
+    ap.add_argument("--dit_subfolder", default=None,
+                    help="subfolder inside --dit_params (e.g. ar_model vs "
+                         "the default-preferred ar_model_ema)")
+    ap.add_argument("--dcae_subfolder", default=None)
+    ap.add_argument("--model", default="375M", choices=["375M", "1.6B"],
+                    help="DiT config when --dit_params is not a diffusers "
+                         "directory (ignored otherwise)")
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--year", type=int, default=2018)
     ap.add_argument("--num_samples_per_month", type=int, default=10)
@@ -148,8 +156,10 @@ def main(argv=None):
     dcae_cfg = DCAEConfig()
     sched_cfg = EDMSchedulerConfig()
 
-    dit_params = _load_any_params(args.dit_params, "dit", dit_cfg)
-    dcae_params = _load_any_params(args.dcae_params, "dcae", dcae_cfg)
+    dit_params, dit_cfg = _load_any_params(
+        args.dit_params, "dit", dit_cfg, args.dit_subfolder)
+    dcae_params, dcae_cfg = _load_any_params(
+        args.dcae_params, "dcae", dcae_cfg, args.dcae_subfolder)
 
     pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
                             dit_params, dcae_params)
@@ -200,35 +210,31 @@ def main(argv=None):
               flush=True)
 
 
-def _load_any_params(path: str, kind: str, cfg):
+def _load_any_params(path: str, kind: str, cfg, subfolder: str = None):
+    """Load (params, config) from any supported checkpoint layout.
+
+    - bare ``.safetensors`` file (reference state dict): converted against
+      the caller-supplied ``cfg``
+    - diffusers model directory (hub layout, incl. training checkpoints
+      with ``ar_model``/``ar_model_ema`` subfolders, single or
+      index-sharded safetensors): config parsed from its ``config.json``
+      — the caller's ``cfg`` is ignored
+    - anything else: orbax params directory, caller-supplied ``cfg``
+    """
+    from ladcast_tpu.models import hub
+
     if path.endswith(".safetensors"):
         from ladcast_tpu.models import weight_import as wi
-        from ladcast_tpu.models.dcae import AutoencoderDC
-        from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
 
         sd = wi.load_safetensors(path)
-        if kind == "dcae":
-            model = AutoencoderDC(cfg)
-            template = jax.eval_shape(
-                model.init, jax.random.PRNGKey(0),
-                jax.ShapeDtypeStruct((1, ch.GRID_LAT, ch.GRID_LON,
-                                      cfg.in_channels - cfg.static_channels),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((ch.GRID_LAT, ch.GRID_LON,
-                                      cfg.static_channels), jnp.float32))
-            return wi.convert_dcae_state_dict(sd, template)
-        model = LaDCastTransformer3D(cfg)
-        template = jax.eval_shape(
-            model.init, jax.random.PRNGKey(0),
-            jax.ShapeDtypeStruct((1, 4, ch.LATENT_LAT, ch.LATENT_LON,
-                                  cfg.in_channels), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1, ch.LATENT_LAT, ch.LATENT_LON,
-                                  cfg.conditioning_tensor_in_channels),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32))
-        return wi.convert_dit_state_dict(sd, template)
-    return load_params(path)
+        template = hub.build_param_template(kind, cfg)
+        convert = (wi.convert_dcae_state_dict if kind == "dcae"
+                   else wi.convert_dit_state_dict)
+        return convert(sd, template), cfg
+    if hub.is_hub_dir(path):
+        loaded = hub.load_pretrained(path, subfolder, expect_kind=kind)
+        return loaded.params, loaded.config
+    return load_params(path), cfg
 
 
 if __name__ == "__main__":

@@ -76,6 +76,26 @@ def register_to_config(init):
 
 
 class ModelMixin(nn.Module):
+    def save_pretrained(self, save_directory: str):
+        # diffusers ModelMixin.save_pretrained hub layout: config.json
+        # (register_to_config args + _class_name) next to
+        # diffusion_pytorch_model.safetensors
+        import json
+        import os
+
+        from safetensors.torch import save_file
+
+        os.makedirs(save_directory, exist_ok=True)
+        cfg = {"_class_name": self.__class__.__name__,
+               "_diffusers_version": "0.32.1"}
+        cfg.update(self._shim_config)
+        with open(os.path.join(save_directory, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2, default=list)
+        save_file(
+            {k: v.contiguous() for k, v in self.state_dict().items()},
+            os.path.join(save_directory,
+                         "diffusion_pytorch_model.safetensors"))
+
     @property
     def dtype(self) -> torch.dtype:
         # diffusers ModelMixin.dtype: dtype of the first parameter

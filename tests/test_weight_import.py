@@ -100,7 +100,7 @@ def test_safetensors_file_roundtrip_through_cli_loader():
         path = os.path.join(d, "dcae.safetensors")
         save_file({k: v.contiguous() for k, v in ref.state_dict().items()},
                   path)
-        params = _load_any_params(path, "dcae", cfg)
+        params, cfg = _load_any_params(path, "dcae", cfg)
 
     rng = np.random.RandomState(5)
     x = rng.randn(2, 6, 16, 24).astype(np.float32)
@@ -155,7 +155,7 @@ def test_dit_safetensors_file_roundtrip_through_cli_loader():
         path = os.path.join(d, "dit.safetensors")
         save_file({k: v.contiguous() for k, v in ref.state_dict().items()},
                   path)
-        params = _load_any_params(path, "dit", cfg)
+        params, cfg = _load_any_params(path, "dit", cfg)
 
     b, t, t_in, h, w = 2, 2, 1, 4, 6
     c = kwargs["in_channels"]
