@@ -80,7 +80,14 @@ def main(argv=None):
     ap.add_argument("--latent_dir", required=True)
     ap.add_argument("--truth", required=True, help="ERA5 zarr or .npz")
     ap.add_argument("--climatology", default=None,
-                    help=".npz with clim (dayofyear, hour, lat, lon, C)")
+                    help=".npz with key 'clim' of shape (366, 4, lat, "
+                         "lon, C) -- day-of-year rows indexed tm_yday-1, "
+                         "hour bins 0/6/12/18 indexed hour//6, channels "
+                         "in channels.channel_names() order. Produce it "
+                         "with cli/compute_climatology.py (from local "
+                         "ERA5) or cli/convert_wb2_climatology.py (from "
+                         "a WB2 climatology zarr); the two are "
+                         "interchangeable.")
     ap.add_argument("--allow_truth_mean_climatology", action="store_true",
                     help="without --climatology, substitute the time-mean "
                          "of the truth window as climatology for ACC. This "

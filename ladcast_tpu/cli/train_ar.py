@@ -101,6 +101,16 @@ def main(argv=None):
                          "numpy mmap; auto = native with mmap fallback)")
     ap.add_argument("--val_ensemble_size", type=int, default=10)
     ap.add_argument("--val_num_init_times", type=int, default=4)
+    ap.add_argument("--val_total_lead_time_hour", type=int, default=240,
+                    help="validation forecast horizon (ref log_validation "
+                         "default 240h)")
+    ap.add_argument("--val_num_inference_steps", type=int, default=20)
+    ap.add_argument("--val_dcae_params", default=None,
+                    help="DCAE params (safetensors/orbax/diffusers dir): "
+                         "decode the validation ensemble and log "
+                         "per-variable physical RMSE/CRPS tables keyed by "
+                         "lead time (reference log_validation, "
+                         "train_AR.py:54-385); omit for latent-only")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -205,7 +215,9 @@ def main(argv=None):
             ensemble_size=args.val_ensemble_size,
             return_seq_len=wcfg.return_seq_len,
             input_seq_len=wcfg.input_seq_len,
-            total_lead_time_hour=240, step_size_hour=6)
+            num_inference_steps=args.val_num_inference_steps,
+            total_lead_time_hour=args.val_total_lead_time_hour,
+            step_size_hour=6)
         val_ds = ARLatentDataset(
             val_src, ARWindowConfig(
                 wcfg.input_seq_len, rcfg.total_num_steps,
@@ -228,15 +240,67 @@ def main(argv=None):
         def net_fn(p, lat, cn, cond, yp):
             return model.apply(p, lat, cn, cond, yp)
 
+        # Decoded-field validation (reference log_validation decodes the
+        # ensemble and logs per-variable physical tables,
+        # train_AR.py:178-341); latent-only stays the cheap default.
+        val_decode = {}
+        if args.val_dcae_params:
+            from ladcast_tpu import channels as ch
+            from ladcast_tpu.cli.pred_rollout import _load_any_params
+            from ladcast_tpu.config import DCAEConfig
+            from ladcast_tpu.metrics.weights import cos_lat_weights
+            from ladcast_tpu.models.dcae import AutoencoderDC
+
+            dcae_params, dcae_cfg = _load_any_params(
+                args.val_dcae_params, "dcae",
+                config_from_dict(DCAEConfig, cfg.get("encdec", {})))
+            # replicate onto the training mesh (loaded params land on a
+            # single device; the jitted validator mixes them with the
+            # mesh-replicated train state)
+            dcae_params = jax.device_put(dcae_params, repl)
+            dcae = AutoencoderDC(dcae_cfg)
+            n_field = dcae_cfg.out_channels - dcae_cfg.static_channels
+            if n_field == ch.NUM_DYNAMIC_CHANNELS:
+                field_stats = static_data.era5_mean_std()
+                val_channel_names = ch.channel_names()
+            else:  # tiny/test configs: identity stats, generic names
+                field_stats = (np.zeros(n_field, np.float32),
+                               np.ones(n_field, np.float32))
+                val_channel_names = [f"ch{i}" for i in range(n_field)]
+            scale = 2 ** (len(dcae_cfg.decoder_block_out_channels) - 1)
+            h_dec = vin.shape[-3] * scale
+            val_decode = dict(
+                decode_fn=lambda p, z: dcae.apply(
+                    p, z, method=AutoencoderDC.decode),
+                dcae_params=dcae_params,
+                latent_stats=(lm, ls),
+                field_stats=field_stats,
+                grid_lat_weight=cos_lat_weights(
+                    np.linspace(-88.5, 90.0, h_dec)))
+            lead_hours = [rcfg.step_size_hour * (i + 1)
+                          for i in range(rcfg.total_num_steps)]
+
         def run_validation(state, step):
             params = state.ema.params if state.ema is not None \
                 else state.params
             m = validate_ar_model(
                 net_fn, params, jnp.asarray(vin), jnp.asarray(vtg), vyp,
-                jax.random.PRNGKey(1234), sched_cfg, rcfg)
-            logger.log({"val_latent_rmse": float(m["latent_rmse"].mean()),
-                        "val_latent_crps": float(m["latent_crps"].mean())},
-                       step)
+                jax.random.PRNGKey(1234), sched_cfg, rcfg, **val_decode)
+            rec = {"val_latent_rmse": float(m["latent_rmse"].mean()),
+                   "val_latent_crps": float(m["latent_crps"].mean())}
+            if val_decode:
+                # per-variable tables keyed by lead time, averaged over
+                # init times (the reference's merged_RMSE / CRPS wandb
+                # tables, train_AR.py:485-520)
+                for name, k2 in (("val_rmse_ens", "rmse_ens"),
+                                 ("val_rmse_single", "rmse_single"),
+                                 ("val_crps", "crps")):
+                    tab = m[k2].mean(axis=0)  # (C, T)
+                    rec[name] = {"lead_hours": lead_hours,
+                                 **{cn: [round(float(x), 6) for x in row]
+                                    for cn, row in
+                                    zip(val_channel_names, tab)}}
+            logger.log(rec, step)
 
     # NOTE: the step key must be IDENTICAL on every process -- it is a
     # replicated input to one global SPMD computation; per-example noise

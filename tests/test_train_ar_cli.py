@@ -37,6 +37,72 @@ def _fixtures(tmp_path):
     return os.fspath(cfg_path), lat_path
 
 
+def test_train_ar_decoded_validation(tmp_path):
+    """--val_dcae_params decodes the validation ensemble and logs
+    per-variable PHYSICAL RMSE/CRPS tables keyed by lead time, the
+    reference log_validation contract (train_AR.py:54-385)."""
+    import jax
+    import yaml as _yaml
+
+    from ladcast_tpu.cli import train_ar
+    from ladcast_tpu.config import DCAEConfig, config_from_dict
+    from ladcast_tpu.models.dcae import AutoencoderDC
+    from ladcast_tpu.train import checkpoint as ckpt
+
+    tiny_dcae = {
+        "in_channels": 4, "out_channels": 4, "latent_channels": 84,
+        "attention_head_dim": 4,
+        "encoder_block_types": ["ResBlock", "ResBlock"],
+        "decoder_block_types": ["ResBlock", "ResBlock"],
+        "encoder_block_out_channels": [8, 16],
+        "decoder_block_out_channels": [8, 16],
+        "encoder_layers_per_block": [1, 1],
+        "decoder_layers_per_block": [1, 1],
+        "encoder_qkv_multiscales": [[], []],
+        "decoder_qkv_multiscales": [[], []],
+        "static_channels": 0,
+        # channel-group shortcuts need widths[-1] >= latent_channels;
+        # this tiny config (16 < 84) must run without them
+        "encoder_out_shortcut": False,
+        "decoder_in_shortcut": False,
+    }
+    cfg_dict = dict(TINY_AR_CFG, encdec=tiny_dcae)
+    cfg, lat = _fixtures(tmp_path)
+    (tmp_path / "tiny_ar.yaml").write_text(_yaml.safe_dump(cfg_dict))
+
+    dcae_cfg = config_from_dict(DCAEConfig, tiny_dcae)
+    dcae = AutoencoderDC(dcae_cfg)
+    params = dcae.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 30, 60, 4), np.float32))
+    dcae_dir = os.fspath(tmp_path / "dcae_params")
+    ckpt.save_params(dcae_dir, params)
+
+    out = os.fspath(tmp_path / "run_dec")
+    train_ar.main(["--config", cfg, "--latents", lat, "--output_dir", out,
+                   "--num_steps", "1", "--seed", "3",
+                   "--val_latents", lat, "--val_every", "1",
+                   "--val_ensemble_size", "2", "--val_num_init_times", "1",
+                   "--val_total_lead_time_hour", "24",
+                   "--val_num_inference_steps", "3",
+                   "--val_dcae_params", dcae_dir])
+
+    recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    val = [r for r in recs if "val_rmse_ens" in r]
+    assert val, recs
+    tab = val[0]["val_rmse_ens"]
+    assert tab["lead_hours"] == [6, 12, 18, 24]
+    for name in ("ch0", "ch1", "ch2", "ch3"):
+        assert len(tab[name]) == 4 and all(np.isfinite(tab[name])), tab
+    crps = val[0]["val_crps"]
+    assert all(np.isfinite(crps["ch0"])) and all(
+        c >= 0 for c in crps["ch0"])
+    single = val[0]["val_rmse_single"]
+    # per-member RMSE >= ens-mean RMSE pointwise (Jensen): a structural
+    # check that the two tables are not the same quantity
+    assert all(s >= e - 1e-6 for s, e in zip(single["ch0"], tab["ch0"]))
+    assert "val_latent_rmse" in val[0]
+
+
 def test_train_ar_checkpoint_resume(tmp_path):
     from ladcast_tpu.cli import train_ar
 
