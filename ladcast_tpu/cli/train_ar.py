@@ -111,6 +111,11 @@ def main(argv=None):
                          "per-variable physical RMSE/CRPS tables keyed by "
                          "lead time (reference log_validation, "
                          "train_AR.py:54-385); omit for latent-only")
+    ap.add_argument("--hub_export", action="store_true",
+                    help="at each checkpoint, also write diffusers-layout "
+                         "model dirs <out>/hub/ar_model{,_ema} "
+                         "(config.json + reference-layout safetensors), "
+                         "shippable to diffusers/reference users")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -341,6 +346,28 @@ def main(argv=None):
         if step % ckpt_every == 0 or step == num_steps:
             with timer.phase("checkpoint"):
                 ckpt.save_state(mgr, step, jax.device_get(state))
+                if args.hub_export and dist.process_index() == 0:
+                    # diffusers-layout export (the reference's training
+                    # hooks write ar_model/ + ar_model_ema/ the same way,
+                    # train_AR.py:559-613) -- shippable to reference/
+                    # diffusers users and loadable by every CLI here.
+                    from ladcast_tpu.models import hub
+
+                    hdir = os.path.join(out_dir, "hub")
+                    hub.save_pretrained(
+                        os.path.join(hdir, "ar_model"), "dit", model_cfg,
+                        jax.device_get(state.params))
+                    if state.ema is not None:
+                        hub.save_pretrained(
+                            os.path.join(hdir, "ar_model_ema"), "dit",
+                            model_cfg, jax.device_get(state.ema.params),
+                            ema_metadata={
+                                "decay": tcfg.ema_max_decay,
+                                "power": tcfg.ema_power,
+                                "inv_gamma": tcfg.ema_inv_gamma,
+                                "update_after_step":
+                                    tcfg.ema_update_after_step,
+                                "optimization_step": int(state.step)})
     mgr.wait_until_finished()
     logger.close()
 

@@ -235,6 +235,83 @@ def build_param_template(kind: str, cfg) -> Dict:
         jax.ShapeDtypeStruct((1,), jnp.float32))
 
 
+_KIND_CLASSES = {v: k for k, v in _CLASS_KINDS.items()}
+
+# diffusers shards at 10 GB by default (save_pretrained max_shard_size);
+# same default here so big exports match the hub layout users expect.
+DEFAULT_MAX_SHARD_BYTES = 10 * 1024 ** 3
+
+
+def config_to_dict(kind: str, cfg) -> Dict:
+    """Dataclass config -> diffusers-style config.json dict (the exact
+    format ``parse_config_dict`` reads back; tuples become JSON lists)."""
+    def jsonable(v):
+        if isinstance(v, tuple):
+            return [jsonable(x) for x in v]
+        return v
+
+    raw = {"_class_name": _KIND_CLASSES[kind]}
+    for f in dataclasses.fields(type(cfg)):
+        raw[f.name] = jsonable(getattr(cfg, f.name))
+    return raw
+
+
+def save_pretrained(path: str, kind: str, cfg, params,
+                    ema_metadata: Optional[Dict] = None,
+                    max_shard_bytes: int = DEFAULT_MAX_SHARD_BYTES) -> None:
+    """Write a diffusers ``save_pretrained``-layout model directory:
+    ``config.json`` + single or index-sharded
+    ``diffusion_pytorch_model.safetensors`` holding the REFERENCE-layout
+    state dict (torch naming + OIHW/out-in shapes via
+    ``weight_import.export_reference_state_dict``) -- so a checkpoint
+    trained here loads into the actual reference modules and back through
+    ``load_pretrained`` unchanged.
+
+    ``ema_metadata``: extra EMA keys merged into config.json, mirroring
+    diffusers ``EMAModel.save_pretrained`` (reference train_AR.py:559-583
+    writes ``ar_model_ema/`` this way).
+    """
+    from safetensors.numpy import save_file
+
+    from ladcast_tpu.models import weight_import as wi
+
+    os.makedirs(path, exist_ok=True)
+    raw = config_to_dict(kind, cfg)
+    if ema_metadata:
+        raw.update({k: ema_metadata[k] for k in ema_metadata
+                    if k in _EMA_CONFIG_KEYS})
+    with open(os.path.join(path, CONFIG_NAME), "w") as f:
+        json.dump(raw, f, indent=2, sort_keys=True)
+
+    sd = wi.export_reference_state_dict(
+        jax.tree.map(np.asarray, params), kind)
+    total = sum(int(v.nbytes) for v in sd.values())
+    if total <= max_shard_bytes:
+        save_file(sd, os.path.join(path, SAFETENSORS_NAME))
+        return
+    # index-sharded layout (diffusers naming: -0000X-of-0000N suffixes)
+    shards, cur, cur_bytes = [], {}, 0
+    for k in sorted(sd):
+        v = sd[k]
+        if cur and cur_bytes + v.nbytes > max_shard_bytes:
+            shards.append(cur)
+            cur, cur_bytes = {}, 0
+        cur[k] = v
+        cur_bytes += int(v.nbytes)
+    shards.append(cur)
+    n = len(shards)
+    stem = SAFETENSORS_NAME[: -len(".safetensors")]
+    weight_map = {}
+    for i, shard in enumerate(shards):
+        fname = f"{stem}-{i + 1:05d}-of-{n:05d}.safetensors"
+        save_file(shard, os.path.join(path, fname))
+        for k in shard:
+            weight_map[k] = fname
+    with open(os.path.join(path, INDEX_NAME), "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f, indent=2, sort_keys=True)
+
+
 def load_pretrained(path: str, subfolder: Optional[str] = None,
                     expect_kind: Optional[str] = None) -> HubModel:
     """Load a diffusers model directory into (kind, config, flax params)."""

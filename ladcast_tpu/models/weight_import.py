@@ -211,6 +211,39 @@ def convert_dit_state_dict(state_dict: Dict[str, np.ndarray],
     return {"params": _unflatten(out)}
 
 
+def export_reference_state_dict(params: Dict, kind: str) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_*_state_dict``: our flax tree -> a state dict
+    in the REFERENCE torch layout (numpy values), loadable by the actual
+    reference modules with ``strict=True`` (oracle-tested in
+    tests/test_hub_export.py). This is what lets checkpoints trained here
+    ship back to diffusers/reference users via ``hub.save_pretrained``."""
+    flat = _flatten(params["params"])
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in flat.items():
+        w = np.asarray(w)
+        if kind == "dcae":
+            ref_name, _ = _dcae_rule(path)
+        else:
+            ref_name = _dit_rule(path)
+        leaf = path[-1]
+        if leaf == "proj_out_kernel":
+            # (g, gs_in, gs_out) einsum weight -> grouped 1x1 Conv2d
+            g, gs_in, gs_out = w.shape
+            w = np.transpose(w, (0, 2, 1)).reshape(g * gs_out, gs_in, 1, 1)
+        elif leaf == "kernel" and w.ndim == 4:    # HWIO -> OIHW
+            w = np.transpose(w, (3, 2, 0, 1))
+        elif leaf == "kernel":                    # Dense (in, out) -> (out, in)
+            w = np.transpose(w, (1, 0))
+            if kind == "dit" and path[-2] in ("x_embedder",
+                                              "context_embedder"):
+                w = w[:, :, None, None, None]     # Conv3d 1x1x1 patch embed
+            elif kind == "dcae" and path[-2] in ("conv_inverted",
+                                                 "conv_point"):
+                w = w[:, :, None, None]           # 1x1 Conv2d in GLUMBConv
+        sd[ref_name] = np.ascontiguousarray(w, dtype=np.float32)
+    return sd
+
+
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
     return load_file(path)

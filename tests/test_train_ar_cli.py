@@ -103,6 +103,39 @@ def test_train_ar_decoded_validation(tmp_path):
     assert "val_latent_rmse" in val[0]
 
 
+def test_train_ar_hub_export(tmp_path):
+    """--hub_export writes diffusers-layout ar_model/ar_model_ema dirs at
+    checkpoints (the reference's training hooks, train_AR.py:559-613)
+    that load back through the hub ingestion path with zero flags."""
+    from ladcast_tpu.cli import train_ar
+    from ladcast_tpu.models import hub
+
+    cfg, lat = _fixtures(tmp_path)
+    out = os.fspath(tmp_path / "run_hub")
+    train_ar.main(["--config", cfg, "--latents", lat, "--output_dir", out,
+                   "--num_steps", "2", "--seed", "11", "--hub_export"])
+
+    for sub in ("ar_model", "ar_model_ema"):
+        loaded = hub.load_pretrained(os.path.join(out, "hub", sub))
+        assert loaded.kind == "dit"
+        assert loaded.config.num_attention_heads == 2
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in __import__("jax").tree.leaves(loaded.params))
+    raw = json.load(open(os.path.join(out, "hub", "ar_model_ema",
+                                      "config.json")))
+    assert raw["optimization_step"] == 2
+    # the parent dir resolves like a reference training checkpoint:
+    # EMA subfolder preferred
+    import jax
+
+    ema = hub.load_pretrained(os.path.join(out, "hub"))
+    ema_direct = hub.load_pretrained(os.path.join(out, "hub",
+                                                  "ar_model_ema"))
+    for a, b in zip(jax.tree.leaves(ema.params),
+                    jax.tree.leaves(ema_direct.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_ar_checkpoint_resume(tmp_path):
     from ladcast_tpu.cli import train_ar
 
