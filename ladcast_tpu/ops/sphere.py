@@ -26,10 +26,17 @@ TPU-first design notes
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax
+
+
+def _pallas_depthwise_enabled() -> bool:
+    """Opt-in switch for the experimental Pallas depthwise path. Read at
+    trace time: set the env var before the first jit of a model fn."""
+    return os.environ.get("LADCAST_PALLAS_DEPTHWISE", "0") == "1"
 
 
 def sphere_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
@@ -85,7 +92,13 @@ def _conv_nhwc(x, kernel, groups: int = 1, padding="VALID"):
 
     Depthwise (groups == C) thin-strip calls lower to shifted fused
     multiply-adds (see _depthwise_shift_conv); large depthwise and all
-    dense convolutions use the conv HLO.
+    dense convolutions use the conv HLO. An experimental Pallas depthwise
+    kernel (ops/pallas/depthwise_conv.py) is opt-in via
+    LADCAST_PALLAS_DEPTHWISE=1: although the grouped-conv HLO runs ~20x
+    off the HBM roofline of this pure-VPU op, the kernel measured SLOWER
+    in production (EViT 5x5 5.33 -> 8.13 ms; PERFORMANCE.md round-3
+    negative results), so the HLO stays the default until the kernel
+    beats it at production shapes.
     """
     if groups > 1 and groups == x.shape[-1] and kernel.shape[2] == 1 \
             and kernel.shape[3] == groups:
@@ -98,6 +111,18 @@ def _conv_nhwc(x, kernel, groups: int = 1, padding="VALID"):
             w_out = x.shape[2] + sum(padding[1]) - kw + 1
         if min(h_out, w_out) <= max(kh, kw):  # boundary strip
             return _depthwise_shift_conv(x, kernel, padding)
+        if _pallas_depthwise_enabled():
+            from ladcast_tpu.ops.pallas.depthwise_conv import (
+                _use_pallas,
+                depthwise_valid_conv,
+            )
+            pad_hw = ((0, 0), (0, 0)) if padding == "VALID" else padding
+            hp = x.shape[1] + sum(pad_hw[0])
+            wp = x.shape[2] + sum(pad_hw[1])
+            if _use_pallas((x.shape[0], hp, wp, x.shape[3]), kh, kw):
+                xp = x if padding == "VALID" else jnp.pad(
+                    x, ((0, 0), pad_hw[0], pad_hw[1], (0, 0)))
+                return depthwise_valid_conv(xp, kernel[:, :, 0, :])
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),

@@ -66,9 +66,44 @@ def main():
             failures += 0 if ok else 1
             print(f"{np.dtype(dtype).name} B={B} Sq={Sq} Sk={Sk} H={H}: "
                   f"maxerr={err:.5f} {'OK' if ok else 'FAIL'}", flush=True)
+    failures += check_depthwise(rng)
     if failures:
         raise SystemExit(f"{failures} kernel checks FAILED")
     print("all kernel hardware checks passed")
+
+
+# Production depthwise shapes (padded input, kernel size): the DCAE
+# EfficientViT Sana-multiscale 5x5 and GLUMBConv 3x3 depthwise convs at
+# both EViT stages (B=20 decode chunk; channel counts incl. the
+# non-128-multiple 1440/2976 that exercise the channel-pad path).
+DW_SHAPES = [
+    ((20, 34, 64, 1440), 5),
+    ((20, 19, 34, 2976), 5),
+    ((20, 32, 62, 4032), 3),
+    ((20, 17, 32, 8064), 3),
+]
+DW_TOL = {jnp.bfloat16: 2e-2, jnp.float32: 1e-4}
+
+
+def check_depthwise(rng):
+    from ladcast_tpu.ops.pallas import depthwise_conv as dw
+
+    failures = 0
+    ref_f = jax.jit(dw._xla_depthwise_valid)
+    fast_f = jax.jit(dw._pallas_depthwise_valid)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        for (shape, ksz) in DW_SHAPES:
+            assert dw._use_pallas(shape, ksz, ksz), (shape, ksz)
+            x = jnp.asarray(rng.randn(*shape), dtype)
+            k = jnp.asarray(rng.randn(ksz, ksz, shape[-1]), dtype) * 0.2
+            ref = ref_f(x, k).astype(jnp.float32)
+            out = fast_f(x, k).astype(jnp.float32)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            ok = np.isfinite(err) and err < DW_TOL[dtype]
+            failures += 0 if ok else 1
+            print(f"depthwise {np.dtype(dtype).name} {shape} k={ksz}: "
+                  f"maxerr={err:.5f} {'OK' if ok else 'FAIL'}", flush=True)
+    return failures
 
 
 if __name__ == "__main__":
