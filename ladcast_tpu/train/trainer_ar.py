@@ -105,7 +105,15 @@ def make_ar_train_step(
         return fn(params, x_in.astype(c_dtype), c_noise,
                   cond.astype(c_dtype), yp).astype(jnp.float32)
 
-    def loss_fn(params, batch, key, step):
+    def loss_given_noise(params, batch, indices, noise):
+        """Deterministic objective with INJECTED sigma indices and noise.
+
+        This is the exact reference loss pipeline (train_AR.py:866-1032)
+        minus the random draws; the executable-reference oracle test
+        (tests/test_oracle_train_loss.py) drives it with the same
+        indices/noise it feeds the reference loop, and loss_fn wraps it
+        with the production sampling.
+        """
         initial_profile, clean, year_progress = batch
         B, T_out = clean.shape[0], clean.shape[1]
         n_pf = tcfg.num_push_forward_steps
@@ -113,12 +121,8 @@ def make_ar_train_step(
         n_slice = T_out // n_pf
         t_in = tcfg.input_seq_len
 
-        k_idx, k_noise = jax.random.split(key)
-        indices = sample_sigma_indices(k_idx, B, step, ns_cfg, sched_cfg)
         sigma = train_sig[indices].reshape(B, 1, 1, 1, 1)
         c_noise = edm.precondition_noise(sigma.reshape(B))
-
-        noise = jax.random.normal(k_noise, clean.shape, jnp.float32)
         noisy = edm.add_noise(clean, noise, sigma)
         x_in = edm.precondition_inputs(sched_cfg, noisy, sigma)
 
@@ -153,6 +157,14 @@ def make_ar_train_step(
         aux = {"loss": loss, "mean_sigma_index": indices.mean()}
         return loss, aux
 
+    def loss_fn(params, batch, key, step):
+        clean = batch[1]
+        B = clean.shape[0]
+        k_idx, k_noise = jax.random.split(key)
+        indices = sample_sigma_indices(k_idx, B, step, ns_cfg, sched_cfg)
+        noise = jax.random.normal(k_noise, clean.shape, jnp.float32)
+        return loss_given_noise(params, batch, indices, noise)
+
     def train_step(state: TrainState, batch, key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, key, state.step)
@@ -178,4 +190,7 @@ def make_ar_train_step(
         return TrainState(params, opt_state, ema_state,
                           jnp.zeros((), jnp.int32))
 
+    # Deterministic hook for the executable-reference oracle test
+    # (tests/test_oracle_train_loss.py): same objective, injected draws.
+    train_step.loss_given_noise = loss_given_noise
     return init_fn, train_step

@@ -175,4 +175,7 @@ def make_dcae_train_step(
         return TrainState(params, opt_state, ema_state,
                           jnp.zeros((), jnp.int32))
 
+    # Deterministic hook for the executable-reference oracle test
+    # (tests/test_oracle_train_loss.py): same objective, injected roll.
+    train_step.loss_given_roll = loss_fn
     return init_fn, train_step, eval_step
