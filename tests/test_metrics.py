@@ -153,3 +153,58 @@ def test_compute_climatology_cli(tmp_path):
     np.testing.assert_allclose(clim[doy - 1, 1], 6.5, atol=1e-6)
     # untouched bins stay zero
     assert clim[100, 0].max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Executable-reference oracles: the ACTUAL evaluate/utils.py score functions
+# (loaded from /root/reference via tests.oracles.refload) on shared inputs.
+# ---------------------------------------------------------------------------
+
+def test_crps_matches_reference_get_crps():
+    import pytest
+    torch = pytest.importorskip("torch")
+    from tests.oracles.refload import load_reference
+    eutils = load_reference("ladcast.evaluate.utils")
+
+    rng = np.random.RandomState(7)
+    fc = rng.randn(9, 4, 6, 8).astype(np.float32)   # (ens, C, H, W)
+    tr = rng.randn(1, 4, 6, 8).astype(np.float32)
+    want = eutils.get_crps(torch.from_numpy(fc), torch.from_numpy(tr),
+                           ensemble_dim=0).numpy()
+    import jax.numpy as jnp
+    got = np.asarray(scores.crps(jnp.asarray(fc), jnp.asarray(tr),
+                                 ensemble_axis=0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_acc_matches_reference_get_acc():
+    import pytest
+    torch = pytest.importorskip("torch")
+    from tests.oracles.refload import load_reference
+    eutils = load_reference("ladcast.evaluate.utils")
+
+    rng = np.random.RandomState(8)
+    fc = rng.randn(3, 4, 6, 8).astype(np.float32)
+    tr = rng.randn(3, 4, 6, 8).astype(np.float32)
+    clim = rng.randn(4, 6, 8).astype(np.float32)
+    lw = cos_lat_weights(np.linspace(-88.5, 90, 6)).astype(np.float32)
+    lw_t = torch.from_numpy(lw).view(1, 1, -1, 1)
+    # NaN case: the reference scores SST ocean-only via nanmean; inject
+    # NaNs at matching points and use the nan_safe path
+    fc[:, 1, 2, 3] = np.nan
+    tr[:, 1, 2, 3] = np.nan
+
+    import jax.numpy as jnp
+    want = eutils.get_acc(torch.from_numpy(fc), torch.from_numpy(tr),
+                          torch.from_numpy(clim), lat_weight=lw_t).numpy()
+    got = np.asarray(scores.acc(jnp.asarray(fc), jnp.asarray(tr),
+                                jnp.asarray(clim),
+                                lat_weight=jnp.asarray(lw).reshape(1, 1, -1, 1),
+                                nan_safe=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    want_nw = eutils.get_acc(torch.from_numpy(fc), torch.from_numpy(tr),
+                             torch.from_numpy(clim)).numpy()
+    got_nw = np.asarray(scores.acc(jnp.asarray(fc), jnp.asarray(tr),
+                                   jnp.asarray(clim), nan_safe=True))
+    np.testing.assert_allclose(got_nw, want_nw, rtol=1e-5, atol=1e-6)
