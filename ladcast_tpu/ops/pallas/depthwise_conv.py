@@ -1,4 +1,4 @@
-"""Pallas depthwise 2D convolution (VALID, NHWC) for TPU.
+"""Pallas depthwise 2D convolution (NHWC) for TPU.
 
 STATUS: experimental, opt-in via LADCAST_PALLAS_DEPTHWISE=1 (see
 ops/sphere.py). Numerically exact vs the grouped-conv HLO on hardware
@@ -13,23 +13,32 @@ group count is in the thousands -- measured 4.6-6.6 ms per call for the
 DCAE's EfficientViT depthwise 3x3/5x5 convs at (20, 30, 60, 1440..8064),
 versus ~0.3 ms of HBM roofline (the op is pure VPU multiply-add; there
 is no MXU work to schedule). Here each (batch, channel-block) grid step
-keeps one padded spatial tile resident in VMEM and accumulates the
-kh*kw shifted products on-chip, so the input is read from HBM exactly
-once. The remaining gap is kernel-internal (sublane shifts per tap and
-the materialized zero/channel pads); revisit with a measured win before
-flipping the default.
+keeps one spatial tile resident in VMEM and accumulates the kh*kw
+shifted products on-chip, so the input is read from HBM exactly once.
 
-Semantics: ``out[b, h, w, c] = sum_{dy,dx} x[b, h+dy, w+dx, c] *
-k[dy, dx, c]`` -- a VALID depthwise convolution on an already-padded
-input (sphere/zero padding happens outside; the caller composes this
-with ``ops.sphere`` boundary handling). fp32 accumulation, output in the
-input dtype.
+v2 changes (addressing the v1 slowdown suspects, PERFORMANCE.md):
+  * zero padding happens INSIDE the kernel on the VMEM-resident tile
+    (``depthwise_same_conv``) -- v1 required the caller to ``jnp.pad``
+    in HBM, a full extra write+read of the activation;
+  * non-128-multiple channel counts (1440, 2976, ...) use Pallas'
+    ragged-grid masking (out-of-bounds lanes read garbage and are
+    dropped on write; channels are independent in a depthwise conv, so
+    no cross-contamination) -- v1 materialized a channel-padded copy;
+  * taps are ordered dx-outer so each W-shift (a sublane rotation in
+    the (..., W, C) tile layout) is materialized once and reused by all
+    kh row taps.
+
+Semantics: ``out[b, h, w, c] = sum_{dy,dx} xp[b, h+dy, w+dx, c] *
+k[dy, dx, c]`` where ``xp`` is the zero-padded input -- i.e. a VALID
+depthwise convolution on the padded tensor. Sphere boundary handling
+happens outside (the caller composes this with ``ops.sphere`` strip
+fixes). fp32 accumulation, output in the input dtype.
 
 Gradients: forward runs the Pallas kernel; the backward pass reuses the
-XLA composition (``_xla_depthwise_valid``) via ``jax.vjp`` -- training
-keeps today's performance, the inference-critical forward gets the
-fast path. (The DCAE trains at ~308 ms/step where the depthwise bwd is
-not the bottleneck; revisit if it becomes one.)
+XLA composition via ``jax.vjp`` -- training keeps today's performance,
+the inference-critical forward gets the fast path. (The DCAE trains at
+~308 ms/step where the depthwise bwd is not the bottleneck; revisit if
+it becomes one.)
 
 No reference counterpart: the reference runs these through cuDNN grouped
 convolutions (torch F.conv2d with groups, models/DCAE.py).
@@ -44,7 +53,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # One padded spatial tile must fit VMEM alongside its double-buffered
 # output block and the fp32 accumulator. Measured bound: cb=512 at a
@@ -54,25 +62,40 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_TILE_ELEMS = 600_000
 _LANE = 128
 
+Pads = tuple  # ((ph0, ph1), (pw0, pw1))
 
-def _xla_depthwise_valid(xp: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+_NO_PAD: Pads = ((0, 0), (0, 0))
+
+
+def _xla_depthwise(x: jnp.ndarray, k: jnp.ndarray,
+                   pads: Pads = _NO_PAD) -> jnp.ndarray:
     """Reference XLA lowering (grouped conv HLO): used for CPU fallback,
     for shapes that don't fit the VMEM tile, and for the backward pass."""
-    C = xp.shape[-1]
+    C = x.shape[-1]
     return lax.conv_general_dilated(
-        xp, k[:, :, None, :],
-        window_strides=(1, 1), padding="VALID",
+        x, k[:, :, None, :],
+        window_strides=(1, 1), padding=pads,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C)
 
 
-def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, H: int, W: int):
-    # dx outer so each W-shift (a sublane rotation in the (..., W, C)
-    # tile layout) is materialized once and reused by all kh row taps;
-    # the dy offsets index full rows, which cost no lane/sublane shuffle.
+def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, H: int, W: int,
+            pads: Pads):
+    """One (batch, channel-block) grid step.
+
+    x_ref block: (1, H_in, W_in, cb) UNPADDED input tile; zero padding is
+    applied here, in VMEM (zero HBM traffic). dx outer so each W-shift
+    (a sublane rotation in the (..., W, C) tile layout) is materialized
+    once and reused by all kh row taps; the dy offsets index full rows,
+    which cost no lane/sublane shuffle.
+    """
+    x = x_ref[0]
+    (ph0, ph1), (pw0, pw1) = pads
+    if ph0 or ph1 or pw0 or pw1:
+        x = jnp.pad(x, ((ph0, ph1), (pw0, pw1), (0, 0)))
     acc = None
     for dx in range(kw):
-        xs = x_ref[0, :, dx:dx + W, :]  # (Hp, W, cb), input dtype
+        xs = x[:, dx:dx + W, :]  # (Hp, W, cb), input dtype
         for dy in range(kh):
             t = xs[dy:dy + H].astype(jnp.float32) \
                 * k_ref[dy * kw + dx, :].astype(jnp.float32)[None, None, :]
@@ -89,32 +112,37 @@ def _block_channels(C: int, tile_hw: int) -> int:
     return 0
 
 
-def _pallas_depthwise_valid(xp: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    B, Hp, Wp, C = xp.shape
+def _pallas_depthwise(x: jnp.ndarray, k: jnp.ndarray,
+                      pads: Pads = _NO_PAD, *,
+                      interpret: bool = False) -> jnp.ndarray:
+    B, H_in, W_in, C = x.shape
     kh, kw, _ = k.shape
+    (ph0, ph1), (pw0, pw1) = pads
+    Hp, Wp = H_in + ph0 + ph1, W_in + pw0 + pw1
     H, W = Hp - kh + 1, Wp - kw + 1
     cb = _block_channels(C, Hp * Wp)
     assert cb >= _LANE
-    C_pad = -(-C // cb) * cb
-    if C_pad != C:
-        xp = jnp.pad(xp, ((0, 0),) * 3 + ((0, C_pad - C),))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, C_pad - C)))
-    kf = k.reshape(kh * kw, C_pad)
+    cb = min(cb, -(-C // _LANE) * _LANE)  # no wider than C rounded to lanes
+    kf = k.reshape(kh * kw, C)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, kh=kh, kw=kw, H=H, W=W),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C_pad), xp.dtype),
-        grid=(B, C_pad // cb),
+    # Ragged last channel block: Pallas masks out-of-bounds lanes (reads
+    # see garbage, writes are dropped); channels are independent here so
+    # the kept lanes are exact. No materialized channel pad.
+    return pl.pallas_call(
+        functools.partial(_kernel, kh=kh, kw=kw, H=H, W=W, pads=pads),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=(B, -(-C // cb)),
         in_specs=[
-            pl.BlockSpec((1, Hp, Wp, cb), lambda b, c: (b, 0, 0, c)),
+            pl.BlockSpec((1, H_in, W_in, cb), lambda b, c: (b, 0, 0, c)),
             pl.BlockSpec((kh * kw, cb), lambda b, c: (0, c)),
         ],
         out_specs=pl.BlockSpec((1, H, W, cb), lambda b, c: (b, 0, 0, c)),
-    )(xp, kf)
-    return out[..., :C] if C_pad != C else out
+        interpret=interpret,
+    )(x, kf)
 
 
 def _use_pallas(xp_shape, kh: int, kw: int) -> bool:
+    """xp_shape: the PADDED input shape (B, Hp, Wp, C)."""
     if jax.default_backend() != "tpu":
         return False
     B, Hp, Wp, C = xp_shape
@@ -128,49 +156,51 @@ def _use_pallas(xp_shape, kh: int, kw: int) -> bool:
     return _block_channels(C, Hp * Wp) >= _LANE
 
 
-@jax.custom_vjp
-def depthwise_valid_conv(xp: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """VALID depthwise conv, NHWC; ``k`` is (kh, kw, C).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depthwise_same_conv(x: jnp.ndarray, k: jnp.ndarray,
+                        pads: Pads = _NO_PAD) -> jnp.ndarray:
+    """Depthwise conv with zero padding ``pads``, NHWC; ``k`` is (kh, kw, C).
 
-    Pallas fast path on TPU (fp32 accumulation, same numerics contract
-    as the conv HLO); XLA grouped-conv fallback elsewhere.
+    ``pads = ((ph0, ph1), (pw0, pw1))`` zero padding is applied INSIDE the
+    Pallas kernel on the VMEM-resident tile -- the unpadded input is read
+    from HBM exactly once and no padded copy is materialized. fp32
+    accumulation, same numerics contract as the conv HLO; XLA grouped-conv
+    fallback off-TPU or when a channel block won't fit VMEM.
     """
-    if _use_pallas(xp.shape, k.shape[0], k.shape[1]):
-        return _pallas_depthwise_valid(xp, k)
-    return _xla_depthwise_valid(xp, k)
+    B, H_in, W_in, C = x.shape
+    kh, kw, _ = k.shape
+    (ph0, ph1), (pw0, pw1) = pads
+    if _use_pallas((B, H_in + ph0 + ph1, W_in + pw0 + pw1, C), kh, kw):
+        return _pallas_depthwise(x, k, pads)
+    return _xla_depthwise(x, k, pads)
 
 
-def _fwd(xp, k):
-    return depthwise_valid_conv(xp, k), (xp, k)
+def _fwd(x, k, pads):
+    return depthwise_same_conv(x, k, pads), (x, k)
 
 
-def _bwd(res, g):
-    xp, k = res
-    _, vjp = jax.vjp(_xla_depthwise_valid, xp, k)
+def _bwd(pads, res, g):
+    x, k = res
+    _, vjp = jax.vjp(lambda xx, kk: _xla_depthwise(xx, kk, pads), x, k)
     return vjp(g)
 
 
-depthwise_valid_conv.defvjp(_fwd, _bwd)
+depthwise_same_conv.defvjp(_fwd, _bwd)
+
+
+def depthwise_valid_conv(xp: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """VALID depthwise conv on an already-padded input (v1 entry point,
+    kept for tests/benches): ``depthwise_same_conv`` with zero pads."""
+    return depthwise_same_conv(xp, k, _NO_PAD)
+
+
+def depthwise_same_conv_interpret(x: jnp.ndarray, k: jnp.ndarray,
+                                  pads: Pads = _NO_PAD) -> jnp.ndarray:
+    """Interpret-mode run of the Pallas kernel (CPU unit tests)."""
+    return _pallas_depthwise(x, jnp.asarray(np.asarray(k)), pads,
+                             interpret=True)
 
 
 def depthwise_valid_conv_interpret(xp: jnp.ndarray,
                                    k: jnp.ndarray) -> jnp.ndarray:
-    """Interpret-mode run of the Pallas kernel (CPU unit tests)."""
-    B, Hp, Wp, C = xp.shape
-    kh, kw, _ = k.shape
-    H, W = Hp - kh + 1, Wp - kw + 1
-    cb = min(_LANE, C) if C % _LANE else _LANE
-    if C % cb:
-        cb = C  # tiny test channels: single block
-    kf = np.reshape(np.asarray(k), (kh * kw, C))
-    return pl.pallas_call(
-        functools.partial(_kernel, kh=kh, kw=kw, H=H, W=W),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), xp.dtype),
-        grid=(B, C // cb),
-        in_specs=[
-            pl.BlockSpec((1, Hp, Wp, cb), lambda b, c: (b, 0, 0, c)),
-            pl.BlockSpec((kh * kw, cb), lambda b, c: (0, c)),
-        ],
-        out_specs=pl.BlockSpec((1, H, W, cb), lambda b, c: (b, 0, 0, c)),
-        interpret=True,
-    )(xp, jnp.asarray(kf))
+    return depthwise_same_conv_interpret(xp, k, _NO_PAD)

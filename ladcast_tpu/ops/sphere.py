@@ -39,6 +39,12 @@ def _pallas_depthwise_enabled() -> bool:
     return os.environ.get("LADCAST_PALLAS_DEPTHWISE", "0") == "1"
 
 
+def _pallas_dense_enabled() -> bool:
+    """Opt-in switch for the Pallas implicit-GEMM dense conv path. Read
+    at trace time: set the env var before the first jit of a model fn."""
+    return os.environ.get("LADCAST_PALLAS_DENSE", "0") == "1"
+
+
 def sphere_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     """Pad (B, H, W, C) with antipodal rows in H and circularly in W.
 
@@ -114,15 +120,31 @@ def _conv_nhwc(x, kernel, groups: int = 1, padding="VALID"):
         if _pallas_depthwise_enabled():
             from ladcast_tpu.ops.pallas.depthwise_conv import (
                 _use_pallas,
-                depthwise_valid_conv,
+                depthwise_same_conv,
             )
-            pad_hw = ((0, 0), (0, 0)) if padding == "VALID" else padding
+            pad_hw = ((0, 0), (0, 0)) if padding == "VALID" else \
+                tuple(tuple(p) for p in padding)
             hp = x.shape[1] + sum(pad_hw[0])
             wp = x.shape[2] + sum(pad_hw[1])
             if _use_pallas((x.shape[0], hp, wp, x.shape[3]), kh, kw):
-                xp = x if padding == "VALID" else jnp.pad(
-                    x, ((0, 0), pad_hw[0], pad_hw[1], (0, 0)))
-                return depthwise_valid_conv(xp, kernel[:, :, 0, :])
+                # zero padding happens inside the kernel on the
+                # VMEM-resident tile -- no materialized padded copy
+                return depthwise_same_conv(x, kernel[:, :, 0, :], pad_hw)
+    if groups == 1 and kernel.shape[0] > 1 and _pallas_dense_enabled():
+        from ladcast_tpu.ops.pallas.dense_conv import (
+            _use_pallas as _use_pallas_dense,
+            dense_conv,
+        )
+        pad_hw = ((0, 0), (0, 0)) if padding == "VALID" else \
+            tuple(tuple(p) for p in padding)
+        h_out = x.shape[1] + sum(pad_hw[0]) - kernel.shape[0] + 1
+        w_out = x.shape[2] + sum(pad_hw[1]) - kernel.shape[1] + 1
+        # implicit-GEMM kernel only for the big main convs; thin strips
+        # stay on the conv HLO (large fixed Pallas grid cost on strips)
+        if min(h_out, w_out) > max(kernel.shape[0], kernel.shape[1]) \
+                and _use_pallas_dense(x.shape, kernel.shape, pad_hw,
+                                      x.dtype.itemsize):
+            return dense_conv(x, kernel, pad_hw)
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),

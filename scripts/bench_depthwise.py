@@ -51,6 +51,15 @@ def main():
         timed(f"full sphere depthwise {B}x{H}x{W}x{C} k={k}",
               lambda x, kern, C=C: sphere.sphere_conv2d(x, kern, groups=C),
               x, kern)
+        if jax.default_backend() == "tpu":
+            from ladcast_tpu.ops.pallas import depthwise_conv as dw
+            timed(f"pallas v2 same-pad {B}x{H}x{W}x{C} k={k}",
+                  lambda x, kern, p=p: dw._pallas_depthwise(
+                      x, kern[:, :, 0, :], p), x, kern)
+            xp = jnp.pad(x, ((0, 0), p[0], p[1], (0, 0)))
+            timed(f"pallas v2 valid (prepadded) {B}x{H}x{W}x{C} k={k}",
+                  lambda xp, kern: dw._pallas_depthwise(xp, kern[:, :, 0, :]),
+                  xp, kern)
 
 
 if __name__ == "__main__":

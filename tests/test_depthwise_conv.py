@@ -15,14 +15,30 @@ from ladcast_tpu.ops.pallas import depthwise_conv as dw
 @pytest.mark.parametrize("shape,ksz", [
     ((2, 12, 18, 128), 3),
     ((1, 11, 20, 256), 5),
-    ((3, 9, 14, 96), 3),      # C < 128: single full-channel block
+    ((3, 9, 14, 96), 3),      # C < 128: ragged single channel block
 ])
 def test_interpret_matches_xla(shape, ksz):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*shape), jnp.float32)
     k = jnp.asarray(rng.randn(ksz, ksz, shape[-1]), jnp.float32)
-    want = dw._xla_depthwise_valid(x, k)
+    want = dw._xla_depthwise(x, k)
     got = dw.depthwise_valid_conv_interpret(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape,ksz,pads", [
+    ((2, 12, 18, 128), 3, ((1, 1), (1, 1))),     # SAME 3x3
+    ((1, 11, 20, 160), 5, ((2, 2), (2, 2))),     # SAME 5x5, ragged C
+    ((1, 9, 14, 128), 3, ((0, 2), (1, 0))),      # asymmetric pads
+])
+def test_interpret_same_pad_matches_xla(shape, ksz, pads):
+    """v2: zero padding applied inside the kernel on the VMEM tile."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    k = jnp.asarray(rng.randn(ksz, ksz, shape[-1]), jnp.float32)
+    want = dw._xla_depthwise(x, k, pads)
+    got = dw.depthwise_same_conv_interpret(x, k, pads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
 
@@ -36,19 +52,24 @@ def test_dispatch_falls_back_off_tpu():
     k = jnp.asarray(rng.randn(3, 3, 160), jnp.float32)
     np.testing.assert_allclose(
         np.asarray(dw.depthwise_valid_conv(x, k)),
-        np.asarray(dw._xla_depthwise_valid(x, k)), atol=1e-6, rtol=1e-6)
+        np.asarray(dw._xla_depthwise(x, k)), atol=1e-6, rtol=1e-6)
+    pads = ((1, 1), (1, 1))
+    np.testing.assert_allclose(
+        np.asarray(dw.depthwise_same_conv(x, k, pads)),
+        np.asarray(dw._xla_depthwise(x, k, pads)), atol=1e-6, rtol=1e-6)
 
 
 def test_gradients_match_xla_composition():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 8, 12, 64), jnp.float32)
     k = jnp.asarray(rng.randn(3, 3, 64), jnp.float32)
+    pads = ((1, 1), (1, 1))
 
     def loss_fast(x, k):
-        return (dw.depthwise_valid_conv(x, k) ** 2).sum()
+        return (dw.depthwise_same_conv(x, k, pads) ** 2).sum()
 
     def loss_ref(x, k):
-        return (dw._xla_depthwise_valid(x, k) ** 2).sum()
+        return (dw._xla_depthwise(x, k, pads) ** 2).sum()
 
     gx, gk = jax.grad(loss_fast, argnums=(0, 1))(x, k)
     rx, rk = jax.grad(loss_ref, argnums=(0, 1))(x, k)
