@@ -82,10 +82,14 @@ def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, th: int,
     valid = (row_l >= 0) & (row_l < H_in) & (col_l >= 0) & (col_l < W_in)
     x = jnp.where(valid[..., None], x, jnp.zeros((), x.dtype))
 
+    # dx outer: each W-shift (a sublane rotation in the (..., W, C) tile
+    # layout) is materialized once and reused by all kh row taps; the dy
+    # offsets index the outer dim, which costs no lane/sublane shuffle.
     acc = jnp.zeros((th * W_out, co_blk), jnp.float32)
-    for dy in range(kh):
-        for dx in range(kw):
-            a = x[dy:dy + th, dx:dx + W_out, :].reshape(th * W_out, cin)
+    for dx in range(kw):
+        xs = x[:, dx:dx + W_out, :]
+        for dy in range(kh):
+            a = xs[dy:dy + th].reshape(th * W_out, cin)
             acc = acc + jnp.dot(a, k_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
     o_ref[0] = acc.reshape(th, W_out, co_blk).astype(o_ref.dtype)
