@@ -111,9 +111,12 @@ def wb2_climatology_to_arrays(
         cols.append(extract(var, None))
     clim = np.stack(cols, axis=-1).astype(np.float32)
     if len(doy) == 365:
-        # WB2 proper carries 366 days; a 365-day product leaves Feb 29
-        # scoring to the Feb 28 bin (tm_yday indexing needs 366 rows)
-        clim = np.concatenate([clim, clim[-1:]], axis=0)
+        # WB2 proper carries 366 rows; a 365-day product must grow a
+        # Feb 29 bin AT index 59 (copy of Feb 28) -- the scorer indexes
+        # clim[tm_yday-1], and in leap years every day from Mar 1 on has
+        # tm_yday one higher than in the 365-day layout, so appending at
+        # the end would misalign Mar..Dec by one day in leap years.
+        clim = np.concatenate([clim[:59], clim[58:59], clim[59:]], axis=0)
     return clim, np.asarray(hours, np.int64)
 
 

@@ -101,9 +101,20 @@ def test_scorer_indexing_contract():
 
 
 def test_365_day_product_padded_to_366():
-    clim, _ = wb2_climatology_to_arrays(FakeDataset(n_doy=365))
-    assert clim.shape[0] == 366
-    np.testing.assert_array_equal(clim[365], clim[364])
+    """The Feb 29 bin is inserted AT index 59 (copy of Feb 28): the
+    scorer indexes clim[tm_yday-1], and in leap years Mar 1..Dec 31 have
+    tm_yday one higher than in the 365-day layout -- appending at the
+    end would misalign Mar..Dec by one day in leap years."""
+    ds = FakeDataset(n_doy=365)
+    clim365, _ = wb2_climatology_to_arrays(ds)
+    assert clim365.shape[0] == 366
+    # the original 365 rows, packed in channel order (first atm var,
+    # first level = channel 0)
+    packed0 = _expected(ds, ch.ATM_VARIABLES[0], ch.PRESSURE_LEVELS[0])
+    got0 = clim365[..., 0]
+    np.testing.assert_array_equal(got0[:59], packed0[:59])   # Jan..Feb 28
+    np.testing.assert_array_equal(got0[59], packed0[58])     # Feb 29 bin
+    np.testing.assert_array_equal(got0[60:], packed0[59:])   # Mar..Dec +1
 
 
 def test_missing_hours_rejected():
