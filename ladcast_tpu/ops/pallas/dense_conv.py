@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Pads = tuple  # ((ph0, ph1), (pw0, pw1))
 
@@ -66,28 +67,49 @@ def _xla_dense(x: jnp.ndarray, k: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _xla_dense_circular(x: jnp.ndarray, k: jnp.ndarray,
+                        pads: Pads) -> jnp.ndarray:
+    """XLA lowering of the circular-longitude variant: materialize the W
+    wrap columns, zero-pad H inside the conv HLO."""
+    (ph0, ph1), (pw0, pw1) = pads
+    W = x.shape[2]
+    xp = jnp.concatenate([x[:, :, W - pw0:], x, x[:, :, :pw1]], axis=2)
+    return lax.conv_general_dilated(
+        xp, k, window_strides=(1, 1), padding=((ph0, ph1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, th: int,
             W_out: int, H_in: int, W_in: int, pads: Pads, cin: int,
-            co_blk: int):
+            co_blk: int, circular_w: bool):
     """One (batch, cout-block, h-tile) grid step."""
     h = pl.program_id(2)
     (ph0, _), (pw0, _) = pads
-    x = x_ref[0]                      # (bs_h, bs_w, Cin), halo'd
+    x = x_ref[0]                      # (bs_h, bs_w, Cin), H-halo'd
     bs_h, bs_w, _ = x.shape
-    # Mask garbage-filled OOB halo rows/cols to zero. This both protects
-    # against the undefined DMA pad fill and implements the conv's zero
-    # padding (all pad reads land in the invalid region).
+    # Mask garbage-filled OOB halo rows (and, in the zero-pad case, halo
+    # cols) to zero. This both protects against the undefined DMA pad
+    # fill and implements the conv's zero padding (all pad reads land in
+    # the invalid region).
     row_l = h * th - ph0 + lax.broadcasted_iota(jnp.int32, (bs_h, bs_w), 0)
-    col_l = -pw0 + lax.broadcasted_iota(jnp.int32, (bs_h, bs_w), 1)
-    valid = (row_l >= 0) & (row_l < H_in) & (col_l >= 0) & (col_l < W_in)
+    valid = (row_l >= 0) & (row_l < H_in)
+    if not circular_w:
+        col_l = -pw0 + lax.broadcasted_iota(jnp.int32, (bs_h, bs_w), 1)
+        valid &= (col_l >= 0) & (col_l < W_in)
     x = jnp.where(valid[..., None], x, jnp.zeros((), x.dtype))
 
     # dx outer: each W-shift (a sublane rotation in the (..., W, C) tile
     # layout) is materialized once and reused by all kh row taps; the dy
     # offsets index the outer dim, which costs no lane/sublane shuffle.
+    # Circular longitude: the tap shift is a cyclic sublane roll of the
+    # full-W tile -- wrap columns come from the tile itself, no halo, no
+    # strip-fix convolutions outside.
     acc = jnp.zeros((th * W_out, co_blk), jnp.float32)
     for dx in range(kw):
-        xs = x[:, dx:dx + W_out, :]
+        if circular_w:
+            xs = pltpu.roll(x, (pw0 - dx) % W_in, 1)
+        else:
+            xs = x[:, dx:dx + W_out, :]
         for dy in range(kh):
             a = xs[dy:dy + th].reshape(th * W_out, cin)
             acc = acc + jnp.dot(a, k_ref[dy, dx],
@@ -95,8 +117,8 @@ def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, th: int,
     o_ref[0] = acc.reshape(th, W_out, co_blk).astype(o_ref.dtype)
 
 
-def _plan(x_shape, k_shape, pads: Pads,
-          itemsize: int) -> Optional[Tuple[int, int]]:
+def _plan(x_shape, k_shape, pads: Pads, itemsize: int,
+          circular_w: bool = False) -> Optional[Tuple[int, int]]:
     """Pick (th, co_blk) fitting the VMEM budget, or None (XLA fallback).
 
     th must divide H_out (ragged H tiles would need high-side Element
@@ -110,7 +132,9 @@ def _plan(x_shape, k_shape, pads: Pads,
     W_out = W_in + pw0 + pw1 - kw + 1
     if H_out < 1 or W_out < 1:
         return None
-    bs_w = W_out + kw - 1
+    if circular_w and W_out != W_in:
+        return None
+    bs_w = W_in if circular_w else W_out + kw - 1
 
     def halo_bytes(th):
         return (th + kh - 1) * bs_w * Cin * itemsize
@@ -140,6 +164,7 @@ def _plan(x_shape, k_shape, pads: Pads,
 
 
 def _pallas_dense(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD, *,
+                  circular_w: bool = False,
                   plan: Optional[Tuple[int, int]] = None,
                   interpret: bool = False) -> jnp.ndarray:
     B, H_in, W_in, Cin = x.shape
@@ -148,11 +173,17 @@ def _pallas_dense(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD, *,
     H_out = H_in + ph0 + ph1 - kh + 1
     W_out = W_in + pw0 + pw1 - kw + 1
     if plan is None:
-        plan = _plan(x.shape, k.shape, pads, x.dtype.itemsize)
+        plan = _plan(x.shape, k.shape, pads, x.dtype.itemsize, circular_w)
     th, co_blk = plan
     assert H_out % th == 0, (H_out, th)
+    assert not circular_w or W_out == W_in, (W_out, W_in)
     nh, nco = H_out // th, -(-Cout // co_blk)
-    bs_h, bs_w = th + kh - 1, W_out + kw - 1
+    bs_h = th + kh - 1
+    if circular_w:
+        # full width, no W halo: wrap columns come from the tile itself
+        w_dim = W_in
+    else:
+        w_dim = pl.Element(W_out + kw - 1, (pw0, max(pw1, kw - 1 - pw0)))
 
     # Grid order (b, co, h): h fastest, so the weight block is revisited
     # across all H tiles (fetched once per (b, co)) and only the small
@@ -160,13 +191,13 @@ def _pallas_dense(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD, *,
     return pl.pallas_call(
         functools.partial(_kernel, kh=kh, kw=kw, th=th, W_out=W_out,
                           H_in=H_in, W_in=W_in, pads=pads, cin=Cin,
-                          co_blk=co_blk),
+                          co_blk=co_blk, circular_w=circular_w),
         out_shape=jax.ShapeDtypeStruct((B, H_out, W_out, Cout), x.dtype),
         grid=(B, nco, nh),
         in_specs=[
             pl.BlockSpec(
                 (1, pl.Element(bs_h, (ph0, max(ph1, kh - 1 - ph0))),
-                 pl.Element(bs_w, (pw0, max(pw1, kw - 1 - pw0))), Cin),
+                 w_dim, Cin),
                 lambda b, c, h: (b, h * th, 0, 0)),
             pl.BlockSpec((kh, kw, Cin, co_blk),
                          lambda b, c, h: (0, 0, 0, c)),
@@ -177,36 +208,47 @@ def _pallas_dense(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD, *,
     )(x, k)
 
 
-def _use_pallas(x_shape, k_shape, pads: Pads, itemsize: int) -> bool:
+def _use_pallas(x_shape, k_shape, pads: Pads, itemsize: int,
+                circular_w: bool = False) -> bool:
     if jax.default_backend() != "tpu":
         return False
     kh, kw = k_shape[:2]
     if kh == 1 and kw == 1:
         return False  # 1x1 convs are plain matmuls; XLA is optimal
-    return _plan(x_shape, k_shape, pads, itemsize) is not None
+    return _plan(x_shape, k_shape, pads, itemsize, circular_w) is not None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def dense_conv(x: jnp.ndarray, k: jnp.ndarray,
-               pads: Pads = _NO_PAD) -> jnp.ndarray:
-    """Dense conv with zero padding ``pads``, NHWC; ``k`` is HWIO.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dense_conv(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD,
+               circular_w: bool = False) -> jnp.ndarray:
+    """Dense conv, NHWC; ``k`` is HWIO.
+
+    ``pads`` zero-pads H (and W unless ``circular_w``). With
+    ``circular_w=True`` the W taps wrap circularly (sphere longitude
+    semantics; requires W pads summing to kw-1 so W_out == W_in) -- in
+    the Pallas kernel a cyclic sublane roll of the VMEM-resident tile
+    replaces the two wrap strip convolutions of
+    ``ops.sphere.sphere_conv2d``.
 
     Pallas implicit-GEMM fast path on TPU (fp32 accumulation, same
     numerics contract as the conv HLO); XLA conv fallback off-TPU or
     when no tile plan fits VMEM.
     """
-    if _use_pallas(x.shape, k.shape, pads, x.dtype.itemsize):
-        return _pallas_dense(x, k, pads)
+    if _use_pallas(x.shape, k.shape, pads, x.dtype.itemsize, circular_w):
+        return _pallas_dense(x, k, pads, circular_w=circular_w)
+    if circular_w:
+        return _xla_dense_circular(x, k, pads)
     return _xla_dense(x, k, pads)
 
 
-def _fwd(x, k, pads):
-    return dense_conv(x, k, pads), (x, k)
+def _fwd(x, k, pads, circular_w):
+    return dense_conv(x, k, pads, circular_w), (x, k)
 
 
-def _bwd(pads, res, g):
+def _bwd(pads, circular_w, res, g):
     x, k = res
-    _, vjp = jax.vjp(lambda xx, kk: _xla_dense(xx, kk, pads), x, k)
+    ref = _xla_dense_circular if circular_w else _xla_dense
+    _, vjp = jax.vjp(lambda xx, kk: ref(xx, kk, pads), x, k)
     return vjp(g)
 
 
@@ -215,6 +257,7 @@ dense_conv.defvjp(_fwd, _bwd)
 
 def dense_conv_interpret(x: jnp.ndarray, k: jnp.ndarray,
                          pads: Pads = _NO_PAD,
+                         circular_w: bool = False,
                          plan: Optional[Tuple[int, int]] = None
                          ) -> jnp.ndarray:
     """Interpret-mode run of the Pallas kernel (CPU unit tests)."""
@@ -225,5 +268,5 @@ def dense_conv_interpret(x: jnp.ndarray, k: jnp.ndarray,
         th = max(t for t in range(1, H_out + 1) if H_out % t == 0 and t <= 8)
         co_blk = int(k.shape[3])
         plan = (th, co_blk)
-    return _pallas_dense(x, jnp.asarray(np.asarray(k)), pads, plan=plan,
-                         interpret=True)
+    return _pallas_dense(x, jnp.asarray(np.asarray(k)), pads,
+                         circular_w=circular_w, plan=plan, interpret=True)

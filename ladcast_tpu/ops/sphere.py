@@ -193,18 +193,32 @@ def sphere_conv2d(
     assert W % 2 == 0, "width (longitude) must be even for antipodal rolling"
     half = W // 2
 
-    # Main conv: zero-padded SAME, no copy.
-    out = _conv_nhwc(x, kernel, groups, padding=((p, p), (p, p)))
-
-    # Wrap columns (in-bounds rows only -> zero H padding).
-    # out[:, :, j] for j < p gains sum_{kw < p-j} k[:, kw] * x[:, :, W-p+j+kw].
-    left_fix = _conv_nhwc(x[:, :, W - p:], kernel[:, :p], groups,
-                          padding=((p, p), (0, p - 1)))      # (B, H, p, O)
-    # out[:, :, W-p+j] gains sum_{kw >= 2p-j} k[:, kw] * x[:, :, j+kw-2p].
-    right_fix = _conv_nhwc(x[:, :, :p], kernel[:, p + 1:], groups,
-                           padding=((p, p), (p - 1, 0)))     # (B, H, p, O)
-    out = out.at[:, :, :p].add(left_fix)
-    out = out.at[:, :, W - p:].add(right_fix)
+    # Main conv. Preferred form (Pallas dense kernel enabled): circular
+    # longitude handled IN-KERNEL by cyclic sublane rolls of the
+    # VMEM-resident tile -- the two wrap strip convolutions and their
+    # full-buffer .at[].add passes disappear. Fallback: zero-padded SAME
+    # conv HLO + wrap strip fixes.
+    wrap_handled = False
+    if groups == 1 and kh > 1 and _pallas_dense_enabled():
+        from ladcast_tpu.ops.pallas.dense_conv import (
+            _use_pallas as _use_pallas_dense,
+            dense_conv,
+        )
+        if _use_pallas_dense(x.shape, kernel.shape, ((p, p), (p, p)),
+                             x.dtype.itemsize, circular_w=True):
+            out = dense_conv(x, kernel, ((p, p), (p, p)), True)
+            wrap_handled = True
+    if not wrap_handled:
+        out = _conv_nhwc(x, kernel, groups, padding=((p, p), (p, p)))
+        # Wrap columns (in-bounds rows only -> zero H padding).
+        # out[:, :, j], j < p gains sum_{kw < p-j} k[:, kw] * x[:, :, W-p+j+kw].
+        left_fix = _conv_nhwc(x[:, :, W - p:], kernel[:, :p], groups,
+                              padding=((p, p), (0, p - 1)))      # (B, H, p, O)
+        # out[:, :, W-p+j] gains sum_{kw >= 2p-j} k[:, kw] * x[:, :, j+kw-2p].
+        right_fix = _conv_nhwc(x[:, :, :p], kernel[:, p + 1:], groups,
+                               padding=((p, p), (p - 1, 0)))     # (B, H, p, O)
+        out = out.at[:, :, :p].add(left_fix)
+        out = out.at[:, :, W - p:].add(right_fix)
 
     # Pole rows: antipodal strips, circularly padded in W. The reference
     # evaluates output row 0 / H-1 with the width-flipped kernel rows

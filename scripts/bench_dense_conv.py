@@ -56,6 +56,12 @@ def main():
         tot_pl += timed(f"pallas GEMM {shape}->{cout} plan={plan}",
                         lambda a, b: dc._pallas_dense(a, b, pads), x, k,
                         flops=flops)
+        timed(f"pallas circular-W {shape}->{cout}",
+              lambda a, b: dc._pallas_dense(a, b, pads, circular_w=True),
+              x, k, flops=flops)
+        timed(f"HLO circular-W (wrap concat) {shape}->{cout}",
+              lambda a, b: dc._xla_dense_circular(a, b, pads), x, k,
+              flops=flops)
     print(f"{'TOTAL conv HLO':>52s}: {tot_hlo * 1e3:6.2f} ms")
     print(f"{'TOTAL pallas':>52s}: {tot_pl * 1e3:6.2f} ms")
 

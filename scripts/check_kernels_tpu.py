@@ -149,17 +149,25 @@ def check_dense(rng):
                 rng.randn(ksz, ksz, shape[-1], cout), dtype) * 0.2
             assert dc._use_pallas(x.shape, k.shape, pads,
                                   x.dtype.itemsize), (shape, cout)
-            ref = jax.jit(lambda a, b: dc._xla_dense(a, b, pads))(
-                x, k).astype(jnp.float32)
-            out = jax.jit(lambda a, b: dc._pallas_dense(a, b, pads))(
-                x, k).astype(jnp.float32)
-            scale = float(jnp.std(ref))
-            err = float(jnp.max(jnp.abs(out - ref)))
-            ok = np.isfinite(err) and err < DENSE_TOL[dtype] * scale
-            failures += 0 if ok else 1
-            print(f"dense {np.dtype(dtype).name} {shape}->{cout} k={ksz}: "
-                  f"maxerr={err:.5f} (std {scale:.2f}) "
-                  f"{'OK' if ok else 'FAIL'}", flush=True)
+            for label, ref_f, fast_f in (
+                ("zeropad",
+                 lambda a, b: dc._xla_dense(a, b, pads),
+                 lambda a, b: dc._pallas_dense(a, b, pads)),
+                ("circular",
+                 lambda a, b: dc._xla_dense_circular(a, b, pads),
+                 lambda a, b: dc._pallas_dense(a, b, pads,
+                                               circular_w=True)),
+            ):
+                ref = jax.jit(ref_f)(x, k).astype(jnp.float32)
+                out = jax.jit(fast_f)(x, k).astype(jnp.float32)
+                scale = float(jnp.std(ref))
+                err = float(jnp.max(jnp.abs(out - ref)))
+                ok = np.isfinite(err) and err < DENSE_TOL[dtype] * scale
+                failures += 0 if ok else 1
+                print(f"dense/{label} {np.dtype(dtype).name} "
+                      f"{shape}->{cout} k={ksz}: maxerr={err:.5f} "
+                      f"(std {scale:.2f}) {'OK' if ok else 'FAIL'}",
+                      flush=True)
     return failures
 
 

@@ -65,6 +65,62 @@ def test_plan_production_shapes():
         assert x_shape[1] % th == 0 and co_blk % 128 == 0 or co_blk >= cout
 
 
+@pytest.mark.parametrize("shape,cout,ksz", [
+    ((2, 12, 18, 16), 24, 3),
+    ((1, 12, 10, 8), 10, 5),
+])
+def test_interpret_circular_w_matches_xla(shape, cout, ksz):
+    """circular_w: wrap columns come from cyclic rolls of the tile."""
+    rng = np.random.RandomState(5)
+    p = ksz // 2
+    pads = ((p, p), (p, p))
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    k = jnp.asarray(rng.randn(ksz, ksz, shape[-1], cout), jnp.float32) * 0.2
+    want = dc._xla_dense_circular(x, k, pads)
+    got = dc.dense_conv_interpret(x, k, pads, circular_w=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_circular_equals_zeropad_plus_wrap_fixes():
+    """The algebra sphere_conv2d's circular fast path relies on: a
+    circular-W conv == zero-pad conv + the two wrap strip fixes (the
+    pole corrections are identical in both formulations)."""
+    from ladcast_tpu.ops.sphere import _conv_nhwc
+    rng = np.random.RandomState(6)
+    for ksz in (3, 5):
+        p = ksz // 2
+        x = jnp.asarray(rng.randn(1, 10, 16, 6), jnp.float32)
+        k = jnp.asarray(rng.randn(ksz, ksz, 6, 8), jnp.float32)
+        W = x.shape[2]
+        out = _conv_nhwc(x, k, 1, padding=((p, p), (p, p)))
+        left = _conv_nhwc(x[:, :, W - p:], k[:, :p], 1,
+                          padding=((p, p), (0, p - 1)))
+        right = _conv_nhwc(x[:, :, :p], k[:, p + 1:], 1,
+                           padding=((p, p), (p - 1, 0)))
+        out = out.at[:, :, :p].add(left).at[:, :, W - p:].add(right)
+        circ = dc._xla_dense_circular(x, k, ((p, p), (p, p)))
+        np.testing.assert_allclose(np.asarray(circ), np.asarray(out),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_circular_gradients_match_xla_composition():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 8, 12, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 16), jnp.float32)
+    pads = ((1, 1), (1, 1))
+    gx, gk = jax.grad(
+        lambda x, k: (dc.dense_conv(x, k, pads, True) ** 2).sum(),
+        argnums=(0, 1))(x, k)
+    rx, rk = jax.grad(
+        lambda x, k: (dc._xla_dense_circular(x, k, pads) ** 2).sum(),
+        argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_dispatch_falls_back_off_tpu():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 10, 12, 8), jnp.float32)
