@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # One padded spatial tile must fit VMEM alongside its double-buffered
 # output block and the fp32 accumulator. Measured bound: cb=512 at a
@@ -79,23 +80,46 @@ def _xla_depthwise(x: jnp.ndarray, k: jnp.ndarray,
         feature_group_count=C)
 
 
+def _xla_depthwise_circular(x: jnp.ndarray, k: jnp.ndarray,
+                            pads: Pads) -> jnp.ndarray:
+    """XLA lowering of the circular-longitude variant (wrap columns
+    materialized, H zero-padded in the grouped-conv HLO)."""
+    (ph0, ph1), (pw0, pw1) = pads
+    W = x.shape[2]
+    xp = jnp.concatenate([x[:, :, W - pw0:], x, x[:, :, :pw1]], axis=2)
+    C = x.shape[-1]
+    return lax.conv_general_dilated(
+        xp, k[:, :, None, :],
+        window_strides=(1, 1), padding=((ph0, ph1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C)
+
+
 def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, H: int, W: int,
-            pads: Pads):
+            pads: Pads, circular_w: bool):
     """One (batch, channel-block) grid step.
 
     x_ref block: (1, H_in, W_in, cb) UNPADDED input tile; zero padding is
     applied here, in VMEM (zero HBM traffic). dx outer so each W-shift
     (a sublane rotation in the (..., W, C) tile layout) is materialized
     once and reused by all kh row taps; the dy offsets index full rows,
-    which cost no lane/sublane shuffle.
+    which cost no lane/sublane shuffle. With ``circular_w`` the W taps
+    are cyclic rolls of the full-width tile (sphere longitude wrap
+    in-kernel -- no wrap strip fixes outside).
     """
     x = x_ref[0]
     (ph0, ph1), (pw0, pw1) = pads
-    if ph0 or ph1 or pw0 or pw1:
+    if circular_w:
+        if ph0 or ph1:
+            x = jnp.pad(x, ((ph0, ph1), (0, 0), (0, 0)))
+    elif ph0 or ph1 or pw0 or pw1:
         x = jnp.pad(x, ((ph0, ph1), (pw0, pw1), (0, 0)))
     acc = None
     for dx in range(kw):
-        xs = x[:, dx:dx + W, :]  # (Hp, W, cb), input dtype
+        if circular_w:
+            xs = pltpu.roll(x, (pw0 - dx) % W, 1)
+        else:
+            xs = x[:, dx:dx + W, :]  # (Hp, W, cb), input dtype
         for dy in range(kh):
             t = xs[dy:dy + H].astype(jnp.float32) \
                 * k_ref[dy * kw + dx, :].astype(jnp.float32)[None, None, :]
@@ -114,12 +138,14 @@ def _block_channels(C: int, tile_hw: int) -> int:
 
 def _pallas_depthwise(x: jnp.ndarray, k: jnp.ndarray,
                       pads: Pads = _NO_PAD, *,
+                      circular_w: bool = False,
                       interpret: bool = False) -> jnp.ndarray:
     B, H_in, W_in, C = x.shape
     kh, kw, _ = k.shape
     (ph0, ph1), (pw0, pw1) = pads
     Hp, Wp = H_in + ph0 + ph1, W_in + pw0 + pw1
     H, W = Hp - kh + 1, Wp - kw + 1
+    assert not circular_w or W == W_in, (W, W_in)
     cb = _block_channels(C, Hp * Wp)
     assert cb >= _LANE
     cb = min(cb, -(-C // _LANE) * _LANE)  # no wider than C rounded to lanes
@@ -129,7 +155,8 @@ def _pallas_depthwise(x: jnp.ndarray, k: jnp.ndarray,
     # see garbage, writes are dropped); channels are independent here so
     # the kept lanes are exact. No materialized channel pad.
     return pl.pallas_call(
-        functools.partial(_kernel, kh=kh, kw=kw, H=H, W=W, pads=pads),
+        functools.partial(_kernel, kh=kh, kw=kw, H=H, W=W, pads=pads,
+                          circular_w=circular_w),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         grid=(B, -(-C // cb)),
         in_specs=[
@@ -156,32 +183,39 @@ def _use_pallas(xp_shape, kh: int, kw: int) -> bool:
     return _block_channels(C, Hp * Wp) >= _LANE
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def depthwise_same_conv(x: jnp.ndarray, k: jnp.ndarray,
-                        pads: Pads = _NO_PAD) -> jnp.ndarray:
-    """Depthwise conv with zero padding ``pads``, NHWC; ``k`` is (kh, kw, C).
+                        pads: Pads = _NO_PAD,
+                        circular_w: bool = False) -> jnp.ndarray:
+    """Depthwise conv with padding ``pads``, NHWC; ``k`` is (kh, kw, C).
 
     ``pads = ((ph0, ph1), (pw0, pw1))`` zero padding is applied INSIDE the
     Pallas kernel on the VMEM-resident tile -- the unpadded input is read
-    from HBM exactly once and no padded copy is materialized. fp32
-    accumulation, same numerics contract as the conv HLO; XLA grouped-conv
-    fallback off-TPU or when a channel block won't fit VMEM.
+    from HBM exactly once and no padded copy is materialized. With
+    ``circular_w`` the W taps wrap cyclically instead (sphere longitude
+    semantics; W pads must sum to kw-1). fp32 accumulation, same numerics
+    contract as the conv HLO; XLA grouped-conv fallback off-TPU or when a
+    channel block won't fit VMEM.
     """
     B, H_in, W_in, C = x.shape
     kh, kw, _ = k.shape
     (ph0, ph1), (pw0, pw1) = pads
-    if _use_pallas((B, H_in + ph0 + ph1, W_in + pw0 + pw1, C), kh, kw):
-        return _pallas_depthwise(x, k, pads)
+    wp = W_in if circular_w else W_in + pw0 + pw1
+    if _use_pallas((B, H_in + ph0 + ph1, wp, C), kh, kw):
+        return _pallas_depthwise(x, k, pads, circular_w=circular_w)
+    if circular_w:
+        return _xla_depthwise_circular(x, k, pads)
     return _xla_depthwise(x, k, pads)
 
 
-def _fwd(x, k, pads):
-    return depthwise_same_conv(x, k, pads), (x, k)
+def _fwd(x, k, pads, circular_w):
+    return depthwise_same_conv(x, k, pads, circular_w), (x, k)
 
 
-def _bwd(pads, res, g):
+def _bwd(pads, circular_w, res, g):
     x, k = res
-    _, vjp = jax.vjp(lambda xx, kk: _xla_depthwise(xx, kk, pads), x, k)
+    ref = _xla_depthwise_circular if circular_w else _xla_depthwise
+    _, vjp = jax.vjp(lambda xx, kk: ref(xx, kk, pads), x, k)
     return vjp(g)
 
 
@@ -195,10 +229,11 @@ def depthwise_valid_conv(xp: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 
 def depthwise_same_conv_interpret(x: jnp.ndarray, k: jnp.ndarray,
-                                  pads: Pads = _NO_PAD) -> jnp.ndarray:
+                                  pads: Pads = _NO_PAD,
+                                  circular_w: bool = False) -> jnp.ndarray:
     """Interpret-mode run of the Pallas kernel (CPU unit tests)."""
     return _pallas_depthwise(x, jnp.asarray(np.asarray(k)), pads,
-                             interpret=True)
+                             circular_w=circular_w, interpret=True)
 
 
 def depthwise_valid_conv_interpret(xp: jnp.ndarray,

@@ -208,6 +208,16 @@ def sphere_conv2d(
                              x.dtype.itemsize, circular_w=True):
             out = dense_conv(x, kernel, ((p, p), (p, p)), True)
             wrap_handled = True
+    if not wrap_handled and groups > 1 and groups == x.shape[-1] \
+            and kernel.shape[2] == 1 and _pallas_depthwise_enabled():
+        from ladcast_tpu.ops.pallas.depthwise_conv import (
+            _use_pallas as _use_pallas_dw,
+            depthwise_same_conv,
+        )
+        if _use_pallas_dw((B, H + 2 * p, W, groups), kh, kw):
+            out = depthwise_same_conv(x, kernel[:, :, 0, :],
+                                      ((p, p), (p, p)), True)
+            wrap_handled = True
     if not wrap_handled:
         out = _conv_nhwc(x, kernel, groups, padding=((p, p), (p, p)))
         # Wrap columns (in-bounds rows only -> zero H padding).

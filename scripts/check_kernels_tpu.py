@@ -68,6 +68,7 @@ def main():
                   f"maxerr={err:.5f} {'OK' if ok else 'FAIL'}", flush=True)
     failures += check_depthwise(rng)
     failures += check_dense(rng)
+    failures += check_sphere_composition(rng)
     if failures:
         raise SystemExit(f"{failures} kernel checks FAILED")
     print("all kernel hardware checks passed")
@@ -168,6 +169,58 @@ def check_dense(rng):
                       f"{shape}->{cout} k={ksz}: maxerr={err:.5f} "
                       f"(std {scale:.2f}) {'OK' if ok else 'FAIL'}",
                       flush=True)
+    return failures
+
+
+def check_sphere_composition(rng):
+    """Full sphere_conv2d (main conv + strip/pole fixes) with the Pallas
+    paths enabled vs the default XLA composition, at production shapes.
+    The circular-W kernels replace the wrap strip fixes -- this asserts
+    the end-to-end composition, not just the isolated kernel."""
+    import importlib
+
+    from ladcast_tpu.ops import sphere
+
+    cases = [  # (x_shape, cout_or_None_for_depthwise, ksz)
+        ((20, 60, 120, 504), 504, 3),     # dense ResBlock conv
+        ((20, 120, 240, 252), 252, 3),    # dense full-res conv
+        ((20, 30, 60, 1440), None, 5),    # depthwise EViT 5x5
+        ((20, 15, 30, 8064), None, 3),    # depthwise GLUMB 3x3
+    ]
+    failures = 0
+    for dtype in (jnp.bfloat16, jnp.float32):
+        for (shape, cout, ksz) in cases:
+            C = shape[-1]
+            x = jnp.asarray(rng.randn(*shape), dtype) * 0.3
+            if cout is None:
+                kern = jnp.asarray(rng.randn(ksz, ksz, 1, C), dtype) * 0.2
+                groups = C
+            else:
+                kern = jnp.asarray(
+                    rng.randn(ksz, ksz, C, cout), dtype) * 0.2
+                groups = 1
+            os.environ["LADCAST_PALLAS_DENSE"] = "0"
+            os.environ["LADCAST_PALLAS_DEPTHWISE"] = "0"
+            ref = jax.jit(lambda a, b: sphere.sphere_conv2d(
+                a, b, groups=groups))(x, kern).astype(jnp.float32)
+            os.environ["LADCAST_PALLAS_DENSE"] = "1"
+            os.environ["LADCAST_PALLAS_DEPTHWISE"] = "1"
+            out = jax.jit(lambda a, b: sphere.sphere_conv2d(
+                a, b, groups=groups))(x, kern).astype(jnp.float32)
+            os.environ["LADCAST_PALLAS_DENSE"] = "0"
+            os.environ["LADCAST_PALLAS_DEPTHWISE"] = "0"
+            scale = max(float(jnp.std(ref)), 1e-6)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            tol = (DENSE_TOL if groups == 1 else
+                   {jnp.bfloat16: 2e-2, jnp.float32: 1e-2})[dtype]
+            thresh = tol * scale if groups == 1 else tol
+            ok = np.isfinite(err) and err < thresh
+            failures += 0 if ok else 1
+            kind = "dense" if groups == 1 else "depthwise"
+            print(f"sphere/{kind} {np.dtype(dtype).name} {shape} k={ksz}: "
+                  f"maxerr={err:.5f} (std {scale:.2f}) "
+                  f"{'OK' if ok else 'FAIL'}", flush=True)
+    importlib.invalidate_caches()
     return failures
 
 

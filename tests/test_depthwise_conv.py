@@ -43,6 +43,40 @@ def test_interpret_same_pad_matches_xla(shape, ksz, pads):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape,ksz", [
+    ((2, 12, 18, 128), 3),
+    ((1, 11, 20, 160), 5),    # ragged C
+])
+def test_interpret_circular_w_matches_xla(shape, ksz):
+    """circular_w: wrap columns from cyclic rolls of the tile."""
+    rng = np.random.RandomState(5)
+    p = ksz // 2
+    pads = ((p, p), (p, p))
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    k = jnp.asarray(rng.randn(ksz, ksz, shape[-1]), jnp.float32)
+    want = dw._xla_depthwise_circular(x, k, pads)
+    got = dw.depthwise_same_conv_interpret(x, k, pads, circular_w=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_circular_gradients_match_xla_composition():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 8, 12, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 64), jnp.float32)
+    pads = ((1, 1), (1, 1))
+    gx, gk = jax.grad(
+        lambda x, k: (dw.depthwise_same_conv(x, k, pads, True) ** 2).sum(),
+        argnums=(0, 1))(x, k)
+    rx, rk = jax.grad(
+        lambda x, k: (dw._xla_depthwise_circular(x, k, pads) ** 2).sum(),
+        argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_dispatch_falls_back_off_tpu():
     # CPU backend in the test env: the public entry point must route to
     # the XLA lowering and still be exactly correct
