@@ -1,0 +1,171 @@
+"""Minimal labeled-array stand-in for the xarray surface the reference
+tracker uses (evaluate/track.py select_box / find_local_minimum /
+track_first_n_steps).
+
+xarray is not in this image; the reference tracker only touches a small,
+well-defined slice of its API on in-memory data (`.dims`, coordinate
+comparisons, dim-aligned ``&``/``|`` broadcasting, ``.where(mask,
+drop=True)``, ``.sel`` with exact and ``method="nearest"`` lookups,
+``.min()``, ``.values``, ``.size``, ``.compute()``/``.load()``). This
+module implements exactly that slice so the ACTUAL reference functions
+run unmodified as parity oracles (tests/test_oracle_tracker.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class LabeledArray:
+    """A labeled nd-array: values + dim names + per-dim coordinate vectors."""
+
+    def __init__(self, values, dims, coords):
+        self.values = np.asarray(values)
+        self.dims = tuple(dims)
+        self.coords = {d: np.asarray(coords[d]) for d in self.dims
+                       if d in coords}
+        assert self.values.ndim == len(self.dims)
+
+    # --- coordinate access (da.latitude, da.longitude, ...) ---
+    def __getattr__(self, name):
+        coords = object.__getattribute__(self, "coords")
+        if name in coords:
+            return LabeledArray(coords[name], (name,), {name: coords[name]})
+        raise AttributeError(name)
+
+    # --- basic array surface ---
+    @property
+    def size(self):
+        return self.values.size
+
+    def __float__(self):
+        return float(self.values)
+
+    def min(self):
+        return LabeledArray(np.nanmin(self.values), (), {})
+
+    def compute(self):
+        return self
+
+    def load(self):
+        return self
+
+    # --- comparisons -> boolean LabeledArrays ---
+    def _cmp(self, other, op):
+        o = other.values if isinstance(other, LabeledArray) else other
+        return LabeledArray(op(self.values, o), self.dims, self.coords)
+
+    def __ge__(self, other):
+        return self._cmp(other, lambda a, b: a >= b)
+
+    def __le__(self, other):
+        return self._cmp(other, lambda a, b: a <= b)
+
+    def __gt__(self, other):
+        return self._cmp(other, lambda a, b: a > b)
+
+    def __lt__(self, other):
+        return self._cmp(other, lambda a, b: a < b)
+
+    # --- dim-aligned broadcasting for & and | (the xarray behavior the
+    # tracker's select_box relies on: a (latitude,) mask & a (longitude,)
+    # mask -> a (latitude, longitude) mask) ---
+    def _broadcast_with(self, other):
+        dims = list(self.dims) + [d for d in other.dims
+                                  if d not in self.dims]
+        coords = {**other.coords, **self.coords}
+
+        def expand(a):
+            shape = [a.values.shape[a.dims.index(d)] if d in a.dims else 1
+                     for d in dims]
+            order = [a.dims.index(d) for d in dims if d in a.dims]
+            return np.transpose(a.values, order).reshape(shape)
+
+        return dims, coords, expand(self), expand(other)
+
+    def __and__(self, other):
+        dims, coords, a, b = self._broadcast_with(other)
+        return LabeledArray(a & b, dims, coords)
+
+    def __or__(self, other):
+        dims, coords, a, b = self._broadcast_with(other)
+        return LabeledArray(a | b, dims, coords)
+
+    # --- selection ---
+    def sel(self, indexers=None, method=None, **kw):
+        if indexers:
+            kw = {**indexers, **kw}
+        out = self
+        for dim, val in kw.items():
+            if dim not in out.dims:
+                raise KeyError(dim)
+            ax = out.dims.index(dim)
+            coord = out.coords[dim]
+            if method == "nearest":
+                diffs = np.abs(np.asarray(coord, np.float64) - float(val))
+                i = int(np.argmin(diffs))
+            else:
+                matches = [j for j, c in enumerate(coord.tolist())
+                           if c == val]
+                if not matches:
+                    raise KeyError(f"{val!r} not in {dim}")
+                i = matches[0]
+            values = np.take(out.values, i, axis=ax)
+            dims = tuple(d for d in out.dims if d != dim)
+            coords = {d: c for d, c in out.coords.items() if d != dim}
+            out = LabeledArray(values, dims, coords)
+        return out
+
+    # --- where(mask, drop=True): drop coordinates all-False along each
+    # dim, NaN-fill remaining False cells (xarray semantics) ---
+    def where(self, mask, drop=False):
+        dims = list(self.dims) + [d for d in mask.dims
+                                  if d not in self.dims]
+        assert dims == list(self.dims), "mask introduces new dims"
+        shape = [mask.values.shape[mask.dims.index(d)] if d in mask.dims
+                 else 1 for d in self.dims]
+        order = [mask.dims.index(d) for d in self.dims if d in mask.dims]
+        m = np.broadcast_to(np.transpose(mask.values, order).reshape(shape),
+                            self.values.shape)
+        values = np.where(m, self.values, np.nan)
+        coords = dict(self.coords)
+        if drop:
+            for ax, d in enumerate(self.dims):
+                other_axes = tuple(i for i in range(values.ndim) if i != ax)
+                keep = m.any(axis=other_axes)
+                values = np.compress(keep, values, axis=ax)
+                m = np.compress(keep, m, axis=ax)
+                if d in coords:
+                    coords[d] = coords[d][keep]
+        return LabeledArray(values, self.dims, coords)
+
+
+class FakeDataset:
+    """dict of LabeledArrays with xarray-Dataset surface for the tracker."""
+
+    def __init__(self, variables):
+        self._v = dict(variables)
+
+    @property
+    def dims(self):
+        out = []
+        for v in self._v.values():
+            for d in v.dims:
+                if d not in out:
+                    out.append(d)
+        return tuple(out)
+
+    def __getitem__(self, k):
+        return self._v[k]
+
+    def __contains__(self, k):
+        return k in self._v
+
+    def sel(self, indexers=None, **kw):
+        if indexers:
+            kw = {**indexers, **kw}
+        out = {}
+        for name, v in self._v.items():
+            sub = {d: val for d, val in kw.items() if d in v.dims}
+            out[name] = v.sel(**sub) if sub else v
+        return FakeDataset(out)

@@ -43,6 +43,16 @@ def load_reference(module: str):
         _stub_module("xarray",
                      Dataset=type("Dataset", (), {}),
                      DataArray=type("DataArray", (), {}))
+    # cartopy is likewise absent; evaluate/track.py imports it at module
+    # scope but touches it only inside plotting bodies the oracles never
+    # call. tests/oracles/fake_xarray.py supplies the xarray surface the
+    # tracker actually exercises.
+    try:
+        import cartopy  # noqa: F401
+    except ImportError:
+        _stub_module("cartopy")
+        _stub_module("cartopy.crs")
+        _stub_module("cartopy.feature")
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     return importlib.import_module(module)
