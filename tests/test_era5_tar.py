@@ -113,3 +113,36 @@ def test_split_tar_files_and_available_timestamps(tmp_path):
     np.testing.assert_array_equal(available_timestamps(d, "validation"),
                                   ts[3:5])
     np.testing.assert_array_equal(available_timestamps(d, "full"), ts)
+
+
+def test_preprocess_matches_reference_oracle():
+    """Run the ACTUAL reference weather_dataset_preprocess_batch
+    (dataloader/weather_dataset.py:203-224, torch NCHW) on the same
+    physical fields: normalization + SST -2 masking must agree
+    elementwise (NaNs occur only in the SST channel per the data
+    contract; crop/drop are handled by the source here)."""
+    import torch
+
+    from tests.oracles.refload import load_reference
+
+    wd = load_reference("ladcast.dataloader.weather_dataset")
+    rng = np.random.RandomState(7)
+    B, H, W, C, sst = 3, 6, 8, 5, 2
+    batch = rng.randn(B, H, W, C).astype(np.float32) * 4 + 1
+    batch[0, 2, 3, sst] = np.nan
+    batch[2, 0, 0, sst] = np.nan
+    mean = rng.randn(C).astype(np.float32)
+    std = (rng.rand(C).astype(np.float32) + 0.5)
+
+    got, mask = preprocess_batch(batch, mean, std, sst_channel=sst)
+
+    t = torch.from_numpy(np.ascontiguousarray(
+        batch.transpose(0, 3, 1, 2)))                      # NCHW
+    tm = torch.from_numpy(mean.reshape(1, C, 1, 1))
+    ts = torch.from_numpy(std.reshape(1, C, 1, 1))
+    ref, ref_mask = wd.weather_dataset_preprocess_batch(
+        t, tm, ts, crop_south_pole=False, sst_channel_idx=sst)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(mask, ref_mask.numpy())
