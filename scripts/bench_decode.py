@@ -19,6 +19,14 @@ from ladcast_tpu.rollout.pipeline import cast_pytree
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=20,
+                    help="frames per decode chunk (bench.py fuses 80 = "
+                         "20 members x 4 frames per repetition)")
+    args = ap.parse_args()
+    B = args.batch
+
     cdt = jnp.bfloat16
     cfg = DCAEConfig()
     dcae = AutoencoderDC(cfg)
@@ -27,7 +35,7 @@ def main():
     params = cast_pytree(
         jax.jit(dcae.init)(jax.random.PRNGKey(2), fields, static), cdt)
 
-    z = jax.random.normal(jax.random.PRNGKey(3), (20, 15, 30, 84))
+    z = jax.random.normal(jax.random.PRNGKey(3), (B, 15, 30, 84))
 
     @jax.jit
     def decode_chunk(p, z):
@@ -46,9 +54,9 @@ def main():
         float(decode_chunk(params, z).mean())  # scalar fetch = sync
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"decode 20-frame chunk: {best*1e3:.1f} ms "
-          f"({best/20*1e3:.2f} ms/frame); bench-total estimate "
-          f"{best*40:.2f} s for 800 frames")
+    print(f"decode {B}-frame chunk: {best*1e3:.1f} ms "
+          f"({best/B*1e3:.2f} ms/frame); bench-total estimate "
+          f"{best*800/B:.2f} s for 800 frames")
 
     float(encode(params, fields, static).mean())
     times = []
