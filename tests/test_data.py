@@ -83,6 +83,28 @@ def test_timestamp_utils():
     assert (np.diff(arr) > 0).all()
 
 
+def test_filter_eval_timestamps_vs_reference():
+    """Run the ACTUAL reference filter_time_range (dataloader/utils.py:
+    517-600) as the oracle for the 2018 eval-protocol init-time list.
+
+    The reference call shape is the pred_rollout one (pred_rollout.py:
+    241-250): a full-year 6-hourly DatetimeIndex with
+    enforce_year='2018'. Any divergence here would silently score
+    different init times in the science acceptance run.
+    """
+    import pandas as pd
+
+    from tests.oracles.refload import load_reference
+
+    dutils = load_reference("ladcast.dataloader.utils")
+    idx = pd.date_range("2018-01-01", "2018-12-31T18:00", freq="6h")
+    for n in (2, 10):
+        ref = dutils.filter_time_range(idx, num_samples_per_month=n,
+                                       enforce_year="2018")
+        ref_ints = sorted(int(ts.strftime("%Y%m%d%H")) for ts in ref)
+        assert time_utils.filter_eval_timestamps([2018], n) == ref_ints
+
+
 def test_filter_eval_timestamps():
     ts = time_utils.filter_eval_timestamps([2018], 10)
     # 10 days x 2 hours x 12 months
