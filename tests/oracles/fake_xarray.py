@@ -140,6 +140,60 @@ class LabeledArray:
         return LabeledArray(values, self.dims, coords)
 
 
+class FakeDataArray(LabeledArray):
+    """Adds the slicing surface the reference ``XarrayDataset3D``
+    (dataloader/ar_dataloder.py:74-162) touches on its (C, time, H, W)
+    DataArray: positional ``__getitem__`` (ints drop the dim, slices keep
+    it, coords follow), ``.isel(time=...)``, ``.shape``, ``.to_numpy()``."""
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    def to_numpy(self):
+        return self.values
+
+    def __getattr__(self, name):
+        coords = object.__getattribute__(self, "coords")
+        if name in coords:
+            return FakeDataArray(coords[name], (name,), {name: coords[name]})
+        raise AttributeError(name)
+
+    def isel(self, indexers=None, **kw):
+        if indexers:
+            kw = {**indexers, **kw}
+        out = self
+        for dim, sl in kw.items():
+            ax = out.dims.index(dim)
+            key = (slice(None),) * ax + (sl,)
+            out = out[key]
+        return out
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        values = self.values[key]
+        dims, coords = [], {}
+        for ax, d in enumerate(self.dims):
+            k = key[ax] if ax < len(key) else slice(None)
+            if isinstance(k, int):
+                continue  # dim dropped
+            dims.append(d)
+            if d in self.coords:
+                coords[d] = self.coords[d][k]
+        if not dims:
+            # xarray's Variable.values unwraps 0-d datetime64/timedelta64
+            # to numpy scalars (xarray core.variable._as_array_or_item);
+            # numpy int-indexing already yields the scalar here.
+            class _Scalar:
+                pass
+
+            s = _Scalar()
+            s.values = values
+            return s
+        return FakeDataArray(values, dims, coords)
+
+
 class FakeDataset:
     """dict of LabeledArrays with xarray-Dataset surface for the tracker."""
 

@@ -115,3 +115,57 @@ def test_filter_eval_timestamps():
     # last day never sampled (endpoint=False)
     assert not any(t // 100 % 100 == 31 and (t // 10000) % 100 == 1
                    for t in ts)
+
+
+def test_ar_window_vs_reference_dataset():
+    """Run the ACTUAL reference XarrayDataset3D (ar_dataloder.py:74-162)
+    over a fake-xarray DataArray as the windowing oracle: item tensors
+    (normalize transform incl. target_std) and first-input timestamps
+    must match ARLatentDataset across every index, for several window
+    configs including the reference's double-truncate_first length quirk
+    (ar_dataloder.py:117 subtracts truncate_first again after isel).
+    """
+    import torch
+
+    from tests.oracles.fake_xarray import FakeDataArray
+    from tests.oracles.refload import load_reference
+
+    ar_dl = load_reference("ladcast.dataloader.ar_dataloder")
+
+    n, C, H, W = 120, 3, 4, 5
+    rng = np.random.RandomState(0)
+    raw = rng.randn(C, n, H, W).astype(np.float32)
+    times = (np.datetime64("2017-12-28T00") +
+             np.arange(n) * np.timedelta64(1, "h"))
+    da = FakeDataArray(raw, ("C", "time", "H", "W"), {"time": times})
+    mean = rng.randn(C).astype(np.float32)
+    std = rng.rand(C).astype(np.float32) + 0.5
+
+    src = ArrayLatentSource(
+        np.transpose(raw, (1, 2, 3, 0)),
+        [time_utils.datetime_to_int(t.astype("datetime64[h]").tolist())
+         for t in times])
+
+    for in_len, out_len, ibp, samp, trunc in (
+            (1, 4, 6, 1, 0), (2, 3, 6, 1, 0), (1, 4, 2, 3, 0),
+            (1, 2, 6, 1, 5)):
+        ref_ds = ar_dl.XarrayDataset3D(
+            da, transform="normalize",
+            transform_args={"mean": torch.from_numpy(mean),
+                            "std": torch.from_numpy(std),
+                            "target_std": 0.5},
+            input_seq_len=in_len, return_seq_len=out_len,
+            truncate_first=trunc, sampling_interval=samp,
+            interval_between_pred=ibp)
+        ds = ARLatentDataset(
+            src, ARWindowConfig(in_len, out_len, ibp, samp, trunc),
+            mean=mean, std=std, target_std=0.5)
+        assert len(ref_ds) == len(ds), (in_len, out_len, ibp, samp, trunc)
+        for i in range(len(ds)):
+            r_in, r_out, r_ts = ref_ds[i]
+            inp, out, ts = ds[i]
+            np.testing.assert_allclose(
+                np.transpose(inp, (3, 0, 1, 2)), r_in.numpy(), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.transpose(out, (3, 0, 1, 2)), r_out.numpy(), rtol=1e-6)
+            assert ts == r_ts
