@@ -14,18 +14,28 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def _has_cartopy() -> bool:
+    """True only for a functional cartopy (a test-stubbed module that
+    merely imports must not select the projection path)."""
+    try:
+        import cartopy.crs as ccrs
+        return hasattr(ccrs, "PlateCarree")
+    except ImportError:
+        return False
+
+
 def _get_axes(n, figsize):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    try:
+    if _has_cartopy():
         import cartopy.crs as ccrs
         fig, axes = plt.subplots(
             1, n, figsize=figsize,
             subplot_kw={"projection": ccrs.Robinson()})
         proj = True
-    except ImportError:
+    else:
         fig, axes = plt.subplots(1, n, figsize=figsize)
         proj = False
     if n == 1:
@@ -211,7 +221,7 @@ def _track_axes(extent=None, figsize=(10, 7)):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    try:
+    if _has_cartopy():
         import cartopy.crs as ccrs
         import cartopy.feature as cfeature
         fig = plt.figure(figsize=figsize)
@@ -221,7 +231,7 @@ def _track_axes(extent=None, figsize=(10, 7)):
         ax.gridlines(draw_labels=True)
         if extent is not None:
             ax.set_extent(extent, crs=ccrs.PlateCarree())
-    except ImportError:
+    else:
         fig, ax = plt.subplots(figsize=figsize)
         ax.grid(True, linewidth=0.3, alpha=0.6)
         ax.set_xlabel("longitude (deg)")
