@@ -1114,9 +1114,69 @@ class _SchedulerType:
     pass
 
 
-def _get_scheduler_stub(*args, **kwargs):
+def get_cosine_schedule_with_warmup(optimizer, num_warmup_steps,
+                                    num_training_steps, num_cycles=0.5,
+                                    last_epoch=-1):
+    """Transcribed from public diffusers v0.32.1 optimization.py
+    (Apache-2.0), like the rest of this shim."""
+    from torch.optim.lr_scheduler import LambdaLR
+
+    def lr_lambda(current_step):
+        if current_step < num_warmup_steps:
+            return float(current_step) / float(max(1, num_warmup_steps))
+        progress = float(current_step - num_warmup_steps) / float(
+            max(1, num_training_steps - num_warmup_steps))
+        return max(0.0, 0.5 * (1.0 + math.cos(
+            math.pi * float(num_cycles) * 2.0 * progress)))
+
+    return LambdaLR(optimizer, lr_lambda, last_epoch)
+
+
+def get_polynomial_decay_schedule_with_warmup(optimizer, num_warmup_steps,
+                                              num_training_steps,
+                                              lr_end=1e-7, power=1.0,
+                                              last_epoch=-1):
+    """Transcribed from public diffusers v0.32.1 optimization.py
+    (Apache-2.0)."""
+    from torch.optim.lr_scheduler import LambdaLR
+
+    lr_init = optimizer.defaults["lr"]
+    if not (lr_init > lr_end):
+        raise ValueError(
+            f"lr_end ({lr_end}) must be smaller than initial lr ({lr_init})")
+
+    def lr_lambda(current_step):
+        if current_step < num_warmup_steps:
+            return float(current_step) / float(max(1, num_warmup_steps))
+        elif current_step > num_training_steps:
+            return lr_end / lr_init  # as LambdaLR multiplies by lr_init
+        else:
+            lr_range = lr_init - lr_end
+            decay_steps = num_training_steps - num_warmup_steps
+            pct_remaining = 1 - (current_step - num_warmup_steps) / decay_steps
+            decay = lr_range * pct_remaining ** power + lr_end
+            return decay / lr_init  # as LambdaLR multiplies by lr_init
+
+    return LambdaLR(optimizer, lr_lambda, last_epoch)
+
+
+def get_scheduler(name, optimizer, step_rules=None, num_warmup_steps=None,
+                  num_training_steps=None, num_cycles=1, power=1.0,
+                  last_epoch=-1):
+    """Minimal dispatcher covering the names the reference trainers use
+    (train_AR.py:711, train_encdec.py:453: 'cosine'; plus 'polynomial'
+    via the models/utils.py fallback branch)."""
+    name = str(name)
+    if name == "cosine":
+        return get_cosine_schedule_with_warmup(
+            optimizer, num_warmup_steps, num_training_steps,
+            num_cycles=num_cycles, last_epoch=last_epoch)
+    if name == "polynomial":
+        return get_polynomial_decay_schedule_with_warmup(
+            optimizer, num_warmup_steps, num_training_steps,
+            power=power, last_epoch=last_epoch)
     raise NotImplementedError(
-        "diffusers.optimization.get_scheduler is not part of the oracle shim")
+        f"scheduler {name!r} is not part of the oracle shim")
 
 
 # ---------------------------------------------------------------------------
@@ -1207,8 +1267,10 @@ def install():
     mod("diffusers.pipelines.pipeline_utils",
         DiffusionPipeline=DiffusionPipeline)
     mod("diffusers.optimization",
-        SchedulerType=_SchedulerType, get_scheduler=_get_scheduler_stub,
-        get_polynomial_decay_schedule_with_warmup=_get_scheduler_stub)
+        SchedulerType=_SchedulerType, get_scheduler=get_scheduler,
+        get_cosine_schedule_with_warmup=get_cosine_schedule_with_warmup,
+        get_polynomial_decay_schedule_with_warmup=
+        get_polynomial_decay_schedule_with_warmup)
     root.EDMDPMSolverMultistepScheduler = EDMDPMSolverMultistepScheduler
     root.DiffusionPipeline = DiffusionPipeline
     root.__shim__ = True

@@ -21,10 +21,14 @@ REF_ROOT = "/root/reference"
 
 def _stub_module(name: str, **attrs):
     if name not in sys.modules:
+        import importlib.machinery
         m = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(m, k, v)
         m.__shim__ = True
+        # a None __spec__ makes importlib.util.find_spec raise ValueError
+        # from unrelated probes (e.g. torch._dynamo trace_rules scans)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules[name] = m
 
 
