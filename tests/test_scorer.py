@@ -54,3 +54,77 @@ def test_score_fn_matches_numpy():
     # ACC of a perfect forecast is 1 -- feed truth-as-decoded via latents?
     # (covered at metric level; here check ACC sign sanity)
     assert np.abs(np.asarray(m["acc"])).max() <= 1.0 + 1e-5
+
+
+def test_score_fn_matches_reference_loop_composition():
+    """Pin make_score_fn against the reference scoring loop
+    (evaluate_ens_gpu.py:339-419) composed from the ACTUAL reference
+    metric functions (evaluate/utils.py get_acc /
+    pointwise_crps_{spread,skill}): lat-weight placement, skill-0.5*spread
+    total, and the SST-channel nanmean split, per (channel, lead time),
+    on identical decoded fields.
+    """
+    import torch
+
+    from tests.oracles.refload import load_reference
+
+    eutils = load_reference("ladcast.evaluate.utils")
+
+    cfg = dataclasses.replace(TINY_DCAE)
+    dcae = AutoencoderDC(cfg)
+    H, W = 16, 32
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, H, W, 8), jnp.float32)
+    st = jnp.asarray(rng.randn(H, W, 1), jnp.float32)
+    params = dcae.init(jax.random.PRNGKey(0), x, st)
+
+    E, T, SST = 3, 2, 5
+    lat_norm = jnp.asarray(rng.randn(E, T, 2, 4, 4) * 0.5, jnp.float32)
+    truth = rng.randn(T, H, W, 8).astype(np.float32)
+    truth[:, 0, 0, SST] = np.nan
+    climate = rng.randn(T, H, W, 8).astype(np.float32)
+
+    lat = np.linspace(-88.5, 90, H)
+    lat_w = jnp.asarray(cos_lat_weights(lat), jnp.float32)
+    stats = (np.zeros(4, np.float32), np.ones(4, np.float32))
+    score = make_score_fn(dcae, params, lat_w, T, latent_stats=stats,
+                          target_std=0.5)
+    m = score(lat_norm, jnp.asarray(truth), jnp.asarray(climate))
+
+    # identical decoded fields for the reference composition
+    z_phys = np.asarray(lat_norm) / 0.5
+    dec = np.stack([
+        np.asarray(dcae.apply(params, jnp.asarray(z_phys[e]),
+                              method=AutoencoderDC.decode))
+        for e in range(E)])  # (E, T, H, W, C)
+
+    ref_w = torch.from_numpy(
+        eutils.get_normalized_lat_weights_based_on_cos(lat)
+    ).view(1, -1, 1).float()           # (1, H, 1), as the reference loop
+
+    def _split_mean(field):            # (C, H, W) -> (C,), SST nanmean
+        out = field.mean(dim=(1, 2))
+        out[SST] = torch.nanmean(field[SST])
+        return out
+
+    for t in range(T):
+        dec_t = torch.from_numpy(np.moveaxis(dec[:, t], -1, 1))  # (E,C,H,W)
+        ref_t = torch.from_numpy(np.moveaxis(truth[t], -1, 0))   # (C,H,W)
+        clim_t = torch.from_numpy(np.moveaxis(climate[t], -1, 0))
+
+        mean_t = dec_t.mean(dim=0)
+        acc_t = eutils.get_acc(mean_t, ref_t, clim_t, ref_w)
+        se_t = (mean_t - ref_t) ** 2 * ref_w
+        spread_t = eutils.pointwise_crps_spread(dec_t, ensemble_dim=0) * ref_w
+        skill_t = eutils.pointwise_crps_skill(dec_t, ref_t.unsqueeze(0), 0) \
+            * ref_w
+        crps_t = skill_t - 0.5 * spread_t
+
+        np.testing.assert_allclose(np.asarray(m["acc"])[:, t],
+                                   acc_t.numpy(), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m["ens_mean_mse"])[:, t],
+                                   _split_mean(se_t).numpy(),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m["crps"])[:, t],
+                                   _split_mean(crps_t).numpy(),
+                                   rtol=2e-4, atol=1e-5)
