@@ -32,24 +32,32 @@ from ladcast_tpu.models.dcae import AutoencoderDC
 
 
 def make_score_fn(dcae, dcae_params, lat_w, total_steps: int,
-                  latent_stats=None, target_std: float = 0.5):
-    """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics."""
-    if latent_stats is None:
-        latent_stats = static_data.latent_mean_std()
-    lm, ls = latent_stats
+                  field_stats=None):
+    """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics.
+
+    ``latents`` arrive in PHYSICAL latent scale -- the scale the
+    reference pred_rollout writes its ``latent_*.npy`` files in
+    (roll_out_serial applies the inverse latent transform before storing,
+    pipelines/utils.py:565-573) and that decode_latent_ens consumes
+    directly (evaluate_ens_gpu.py:300-304). Decoded fields are
+    unnormalized with ``field_stats`` so all metrics are in physical
+    units against physical truth, as in the reference loop.
+    """
+    if field_stats is None:
+        field_stats = static_data.era5_mean_std()
+    fm, fs = (jnp.asarray(field_stats[0], jnp.float32),
+              jnp.asarray(field_stats[1], jnp.float32))
 
     @jax.jit
-    def _score(p, latents_norm, truth, climate):
-        # latents_norm: (E, T, h, w, C) normalized; truth/climate:
+    def _score(p, z, truth, climate):
+        # z: (E, T, h, w, C) physical latents; truth/climate:
         # (T, H, W, C) physical
-        z = transforms.inverse_normalize(latents_norm, jnp.asarray(lm),
-                                         jnp.asarray(ls), target_std)
-        del latents_norm
         E, T = z.shape[:2]
         dec = jax.lax.map(
             lambda zz: dcae.apply(p, zz, method=AutoencoderDC.decode),
             jnp.swapaxes(z, 0, 1))  # chunk over lead time: (T, E, h, w, C)
         dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
+        dec = transforms.inverse_normalize(dec, fm, fs, 1.0)  # physical
 
         lw = lat_w.reshape(-1, 1)
 
@@ -67,10 +75,10 @@ def make_score_fn(dcae, dcae_params, lat_w, total_steps: int,
         acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe=True)
         return {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
 
-    def score(latents_norm, truth, climate):
+    def score(latents_phys, truth, climate):
         # params passed explicitly: closure-captured trees stall/overflow
         # remote compiles (see rollout/pipeline.py note)
-        return _score(dcae_params, latents_norm, truth, climate)
+        return _score(dcae_params, latents_phys, truth, climate)
 
     return score
 
@@ -121,7 +129,9 @@ def main(argv=None):
     acc_metrics = []
     for f in files:
         ts = int(os.path.basename(f).split("_")[-1].split(".")[0])
-        arr = np.load(f)  # (E, C, T+1, h, w) reference layout
+        # (E, C, T+1, h, w) reference layout, PHYSICAL latent scale
+        # (see make_score_fn docstring)
+        arr = np.load(f)
         lat = np.moveaxis(arr, 1, -1)[:, 1:]  # drop t=0 -> (E, T, h, w, C)
         T = lat.shape[1]
         lead_ts = [time_utils.add_hours_int(ts, args.step_size_hour * (i + 1))

@@ -193,13 +193,16 @@ def main(argv=None):
         traj, decoded = pipe.forecast_from_fields(
             jnp.asarray(fields), ts, sub, decode=not args.save_as_latent)
 
-        # prepend the t=0 encoded analysis frame, convert to the
-        # reference's channels-first layout (ens, C, T+1, h, w)
-        z0 = pipe.normalize_latent(pipe.encode_fields(
-            jnp.asarray(fields)))[-1]
+        # prepend the t=0 encoded analysis frame and convert to the
+        # reference's npy convention: channels-first (ens, C, T+1, h, w)
+        # in PHYSICAL latent scale -- roll_out_serial stores the raw
+        # encoder output at timedelta 0 (pipelines/utils.py:495-504) and
+        # inverse-transformed samples after (utils.py:565-573), so these
+        # files interchange with the reference scorer and vice versa.
+        z0 = pipe.encode_fields(jnp.asarray(fields))[-1]
         z0 = jnp.broadcast_to(z0[None, None], (rcfg.ensemble_size, 1,
                                                *z0.shape))
-        full = jnp.concatenate([z0, traj], axis=1)
+        full = jnp.concatenate([z0, pipe.unnormalize_latent(traj)], axis=1)
         out = np.moveaxis(np.asarray(full), -1, 1)  # (E, C, T+1, h, w)
         np.save(os.path.join(args.output_dir, f"latent_{ts}.npy"), out)
         if decoded is not None:

@@ -105,11 +105,17 @@ class ForecastPipeline:
             dec = dec.reshape(-1, *dec.shape[2:])[:n]
             return dec.astype(jnp.float32)
 
+        fm, fs = self.field_mean, self.field_std
+
         def decode_latents(dcae_params, latents_norm, chunk):
             E, T = latents_norm.shape[:2]
             z = self.unnormalize_latent(latents_norm)
             dec = decode_chunked(dcae_params, z.reshape(E * T, *z.shape[2:]),
                                  chunk)
+            # decoded fields leave the pipeline in PHYSICAL units, like the
+            # reference decode_latent_ens (pipelines/utils.py:51-80 applies
+            # inverse_normalize_transform_3D with the field stats)
+            dec = transforms.inverse_normalize(dec, fm, fs, 1.0)
             return dec.reshape(E, T, *dec.shape[1:])
 
         def forecast(dit_params, known_latents_norm, year_progress, key):
@@ -146,9 +152,11 @@ class ForecastPipeline:
 
     def decode_latents(self, latents_norm, chunk: int = 40):
         """(E, T, 15, 30, 84) normalized latents -> (E, T, H, W, 84)
-        normalized fields; frames batched through the decoder in chunks to
-        bound decoder activation memory (the reference decodes member-by-
-        member in a host loop, pipelines/utils.py:209-229)."""
+        PHYSICAL fields (field z-scoring undone, matching the reference
+        decode_latent_ens, pipelines/utils.py:51-80); frames batched
+        through the decoder in chunks to bound decoder activation memory
+        (the reference decodes member-by-member in a host loop,
+        pipelines/utils.py:209-229)."""
         return self._decode_jit(self.dcae_params, latents_norm, chunk)
 
     def forecast_latents(self, known_latents_norm, year_progress, key):

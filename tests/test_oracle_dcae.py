@@ -150,3 +150,46 @@ def test_dcae_v2_options_parity():
     got = model.apply(params, x_j, st_j)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=1e-4, rtol=1e-4)
+
+
+def test_decode_latent_ens_parity():
+    """Run the ACTUAL reference decode_latent_ens (pipelines/utils.py:
+    51-80) as the oracle for the decode tail: physical-scale latents in,
+    PHYSICAL fields out (decoded normalized fields inverse-transformed
+    with the field stats, target_std 1). Pins the unit contract of
+    ForecastPipeline.decode_latents / evaluate_ens.make_score_fn.
+    """
+    ref, model, cfg = _tiny_pair(seed=3)
+    putils = load_reference("ladcast.pipelines.utils")
+
+    rng = np.random.RandomState(3)
+    E, T, h, w = 2, 3, H // 4, W // 4
+    z = rng.randn(E, 4, T, h, w).astype(np.float32)  # (B, C, T, H, W)
+    # decode strips the static channels (DCAE.py:1050-1052), so the
+    # field stats are DYN-sized
+    fm = rng.randn(DYN).astype(np.float32)
+    fs = (rng.rand(DYN) + 0.5).astype(np.float32)
+
+    with torch.no_grad():
+        want = putils.decode_latent_ens(
+            ref, torch.from_numpy(z),
+            mean_tensor=torch.from_numpy(fm),
+            std_tensor=torch.from_numpy(fs)).numpy()  # (B, C, T, H, W)
+
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, DYN)),
+                           jnp.zeros((1, H, W, STATIC))))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = jax.tree.map(jnp.asarray,
+                          convert_dcae_state_dict(state_dict_numpy(ref),
+                                                  template))
+
+    # repo path: flat (B*T) frame batch through decode, then field
+    # unnormalize -- the composition used by ForecastPipeline and the
+    # scorer (channels-last)
+    z_hwc = jnp.asarray(np.moveaxis(z, 1, -1).reshape(E * T, h, w, 4))
+    dec = model.apply(params, z_hwc, method=AutoencoderDC.decode)
+    dec = np.asarray(dec) * fs + fm
+    got = np.moveaxis(dec.reshape(E, T, H, W, DYN), -1, 1)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

@@ -1,5 +1,12 @@
-"""On-device ensemble scorer (evaluate_ens.make_score_fn) on a tiny DCAE:
-metric values cross-checked against a plain-numpy reimplementation."""
+"""On-device ensemble scorer (evaluate_ens.make_score_fn) on a tiny DCAE.
+
+Input latents follow the reference ``latent_*.npy`` contract: PHYSICAL
+latent scale (roll_out_serial inverse-transforms before storing,
+pipelines/utils.py:565-573); decoded fields are unnormalized to physical
+units before scoring (decode_latent_ens semantics, utils.py:51-80).
+Metric values cross-checked against a plain-numpy reimplementation and
+against the reference scoring-loop composition.
+"""
 
 import dataclasses
 
@@ -12,47 +19,53 @@ from ladcast_tpu.metrics.weights import cos_lat_weights
 from ladcast_tpu.models.dcae import AutoencoderDC
 from tests.test_dcae import TINY as TINY_DCAE
 
+H, W, E, T, SST = 16, 32, 3, 2, 5
 
-def test_score_fn_matches_numpy():
+
+def _setup(seed):
+    """Tiny DCAE + physical latents/truth/climate + non-trivial field
+    stats (so the decoded-field unnormalization is actually pinned)."""
     cfg = dataclasses.replace(TINY_DCAE)  # 4-ch latent, 8-ch fields
     dcae = AutoencoderDC(cfg)
-    H, W = 16, 32
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.randn(1, H, W, 8), jnp.float32)
     st = jnp.asarray(rng.randn(H, W, 1), jnp.float32)
     params = dcae.init(jax.random.PRNGKey(0), x, st)
 
-    E, T = 3, 2
-    lat_norm = jnp.asarray(rng.randn(E, T, 2, 4, 4) * 0.5, jnp.float32)
-    truth = rng.randn(T, H, W, 8).astype(np.float32)
-    truth[:, 0, 0, 5] = np.nan  # SST-style NaN in one channel
-    climate = rng.randn(T, H, W, 8).astype(np.float32)
+    lat_phys = jnp.asarray(rng.randn(E, T, 2, 4, 4) * 0.5, jnp.float32)
+    fm = rng.randn(8).astype(np.float32)
+    fs = (rng.rand(8) + 0.5).astype(np.float32)
+    truth = (rng.randn(T, H, W, 8) * fs + fm).astype(np.float32)
+    truth[:, 0, 0, SST] = np.nan  # SST-style NaN
+    climate = (rng.randn(T, H, W, 8) * fs + fm).astype(np.float32)
 
-    lat_w = jnp.asarray(cos_lat_weights(np.linspace(-88.5, 90, H)),
-                        jnp.float32)
-    stats = (np.zeros(4, np.float32), np.ones(4, np.float32))
-    score = make_score_fn(dcae, params, lat_w, T, latent_stats=stats,
-                          target_std=0.5)
-    m = score(lat_norm, jnp.asarray(truth), jnp.asarray(climate))
+    lat = np.linspace(-88.5, 90, H)
+    lat_w = jnp.asarray(cos_lat_weights(lat), jnp.float32)
+    score = make_score_fn(dcae, params, lat_w, T, field_stats=(fm, fs))
+    m = score(lat_phys, jnp.asarray(truth), jnp.asarray(climate))
+
+    # identical decoded PHYSICAL fields, computed independently
+    dec = np.stack([
+        np.asarray(dcae.apply(params, lat_phys[e],
+                              method=AutoencoderDC.decode))
+        for e in range(E)])  # (E, T, H, W, 8) normalized
+    dec = dec * fs + fm      # physical
+    return m, dec, truth, climate, lat, np.asarray(lat_w)
+
+
+def test_score_fn_matches_numpy():
+    m, dec, truth, _, _, lat_w = _setup(0)
     for k in ("ens_mean_mse", "crps", "acc"):
         assert m[k].shape == (8, T)
         assert np.isfinite(np.asarray(m[k])).all()
 
     # numpy cross-check of the ens-mean MSE for one channel
-    z_phys = np.asarray(lat_norm) / 0.5
-    dec = np.stack([
-        np.asarray(dcae.apply(params, jnp.asarray(z_phys[e]),
-                              method=AutoencoderDC.decode))
-        for e in range(E)])  # (E, T, H, W, 8)
-    w = np.asarray(lat_w).reshape(H, 1)
+    w = lat_w.reshape(H, 1)
     c = 2
     want = np.nanmean(
         w * (dec[:, :, :, :, c].mean(0) - truth[..., c]) ** 2, axis=(-2, -1))
     np.testing.assert_allclose(np.asarray(m["ens_mean_mse"][c]), want,
                                rtol=5e-4, atol=1e-5)
-
-    # ACC of a perfect forecast is 1 -- feed truth-as-decoded via latents?
-    # (covered at metric level; here check ACC sign sanity)
     assert np.abs(np.asarray(m["acc"])).max() <= 1.0 + 1e-5
 
 
@@ -62,41 +75,14 @@ def test_score_fn_matches_reference_loop_composition():
     metric functions (evaluate/utils.py get_acc /
     pointwise_crps_{spread,skill}): lat-weight placement, skill-0.5*spread
     total, and the SST-channel nanmean split, per (channel, lead time),
-    on identical decoded fields.
+    on identical decoded physical fields.
     """
     import torch
 
     from tests.oracles.refload import load_reference
 
     eutils = load_reference("ladcast.evaluate.utils")
-
-    cfg = dataclasses.replace(TINY_DCAE)
-    dcae = AutoencoderDC(cfg)
-    H, W = 16, 32
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(1, H, W, 8), jnp.float32)
-    st = jnp.asarray(rng.randn(H, W, 1), jnp.float32)
-    params = dcae.init(jax.random.PRNGKey(0), x, st)
-
-    E, T, SST = 3, 2, 5
-    lat_norm = jnp.asarray(rng.randn(E, T, 2, 4, 4) * 0.5, jnp.float32)
-    truth = rng.randn(T, H, W, 8).astype(np.float32)
-    truth[:, 0, 0, SST] = np.nan
-    climate = rng.randn(T, H, W, 8).astype(np.float32)
-
-    lat = np.linspace(-88.5, 90, H)
-    lat_w = jnp.asarray(cos_lat_weights(lat), jnp.float32)
-    stats = (np.zeros(4, np.float32), np.ones(4, np.float32))
-    score = make_score_fn(dcae, params, lat_w, T, latent_stats=stats,
-                          target_std=0.5)
-    m = score(lat_norm, jnp.asarray(truth), jnp.asarray(climate))
-
-    # identical decoded fields for the reference composition
-    z_phys = np.asarray(lat_norm) / 0.5
-    dec = np.stack([
-        np.asarray(dcae.apply(params, jnp.asarray(z_phys[e]),
-                              method=AutoencoderDC.decode))
-        for e in range(E)])  # (E, T, H, W, C)
+    m, dec, truth, climate, lat, _ = _setup(1)
 
     ref_w = torch.from_numpy(
         eutils.get_normalized_lat_weights_based_on_cos(lat)
