@@ -206,8 +206,13 @@ def main(argv=None):
         out = np.moveaxis(np.asarray(full), -1, 1)  # (E, C, T+1, h, w)
         np.save(os.path.join(args.output_dir, f"latent_{ts}.npy"), out)
         if decoded is not None:
-            np.save(os.path.join(args.output_dir, f"fields_{ts}.npy"),
-                    np.asarray(decoded))
+            # georeferenced bundle (fields + JSON coords), the format
+            # cli/track.py and the export/zarr tooling consume
+            from ladcast_tpu.evaluate.export import decoded_to_npz
+            decoded_to_npz(np.asarray(decoded), ts,
+                           os.path.join(args.output_dir,
+                                        f"fields_{ts}.npz"),
+                           step_size_hour=args.step_size_hour)
         print(json.dumps({"init_time": ts,
                           "seconds": round(time.time() - t0, 2)}),
               flush=True)
