@@ -31,8 +31,7 @@ from ladcast_tpu.metrics.weights import grid_lat_weights
 from ladcast_tpu.models.dcae import AutoencoderDC
 
 
-def make_score_fn(dcae, dcae_params, lat_w, total_steps: int,
-                  field_stats=None):
+def make_score_fn(dcae, dcae_params, lat_w, field_stats=None):
     """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics.
 
     ``latents`` arrive in PHYSICAL latent scale -- the scale the
@@ -151,7 +150,7 @@ def main(argv=None):
             cl = np.broadcast_to(np.nanmean(truth, axis=0, keepdims=True),
                                  truth.shape)
         if score_fn is None:
-            score_fn = make_score_fn(dcae, dcae_params, lat_w, T)
+            score_fn = make_score_fn(dcae, dcae_params, lat_w)
         m = score_fn(jnp.asarray(lat, jnp.float32),
                      jnp.asarray(truth, jnp.float32),
                      jnp.asarray(cl, jnp.float32))
@@ -188,7 +187,7 @@ def main(argv=None):
     if merged["crps"].shape[0] == 0:
         raise SystemExit(
             "no init times were scored on any rank (all shard files "
-            "empty) -- check --latents_dir / --truth arguments")
+            "empty) -- check --latent_dir / --truth arguments")
 
     # Human-readable summary table: per-variable ens-mean RMSE/CRPS at
     # day 1/5/10 (the headline figure layout, assets/2018_rmse.png;

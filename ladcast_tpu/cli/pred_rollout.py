@@ -190,7 +190,7 @@ def main(argv=None):
         fields = np.where(
             np.isnan(fields), -2.0, fields).astype(np.float32)  # SST mask
         key, sub = jax.random.split(key)
-        traj, decoded = pipe.forecast_from_fields(
+        traj, decoded, z_analysis = pipe.forecast_from_fields(
             jnp.asarray(fields), ts, sub, decode=not args.save_as_latent)
 
         # prepend the t=0 encoded analysis frame and convert to the
@@ -199,7 +199,7 @@ def main(argv=None):
         # encoder output at timedelta 0 (pipelines/utils.py:495-504) and
         # inverse-transformed samples after (utils.py:565-573), so these
         # files interchange with the reference scorer and vice versa.
-        z0 = pipe.encode_fields(jnp.asarray(fields))[-1]
+        z0 = z_analysis[-1]
         z0 = jnp.broadcast_to(z0[None, None], (rcfg.ensemble_size, 1,
                                                *z0.shape))
         full = jnp.concatenate([z0, pipe.unnormalize_latent(traj)], axis=1)

@@ -53,8 +53,8 @@ def main(argv=None):
     fields = d["fields"]  # (E, T, lat, lon, 84)
     meta = json.loads(str(d["meta"]))
     init_ts = int(meta["init_time"])
-    step_h = meta["prediction_timedelta_hours"][1] - \
-        meta["prediction_timedelta_hours"][0]
+    tds = meta["prediction_timedelta_hours"]  # valid-time offsets (hours)
+    step_h = tds[1] - tds[0] if len(tds) > 1 else tds[0]
     lat, lon = _grid()
     mslp_c = ch.channel_index("mean_sea_level_pressure")
     t0 = time_utils.int_to_datetime(init_ts)
@@ -62,7 +62,10 @@ def main(argv=None):
     tracks = {}
     for m in range(fields.shape[0]):
         def mslp_at(t, member=m):
-            li = int(round(((t - t0).total_seconds() / 3600) / step_h)) - 1
+            # trust the bundle's own timedelta labels (frame i is valid
+            # at init + tds[i] hours)
+            hours = (t - t0).total_seconds() / 3600
+            li = int(round((hours - tds[0]) / step_h))
             li = max(0, min(li, fields.shape[1] - 1))
             return tracker.GriddedField(fields[member, li, :, :, mslp_c],
                                         lat, lon)

@@ -21,8 +21,12 @@ from ladcast_tpu import channels as ch
 
 
 def grid_coords(num_steps: int, step_size_hour: int = 6):
+    """Decoded bundles are forecast-only: frame i is valid at init +
+    (i+1)*step (the reference reserves prediction_timedelta 0 for the
+    analysis frame, pipelines/utils.py:339,494-510, which decode paths
+    here never include)."""
     return {
-        "prediction_timedelta_hours": [step_size_hour * i
+        "prediction_timedelta_hours": [step_size_hour * (i + 1)
                                        for i in range(num_steps)],
         "level": list(ch.PRESSURE_LEVELS),
         "latitude": np.arange(ch.LAT_START_DEG, ch.LAT_END_DEG + 1e-6,

@@ -171,18 +171,22 @@ class ForecastPipeline:
                              decode: bool = True):
         """fields: (T_in, H, W, 84) normalized ERA5 input frames.
 
-        Returns (traj_latents_norm, decoded_fields_or_None). The t=0 frame
-        is not included (matches reference prediction_timedelta>0 slots).
+        Returns (traj_latents_norm, decoded_fields_or_None, z_analysis)
+        where z_analysis is the (T_in, 15, 30, 84) PHYSICAL-scale encoder
+        output of the inputs (the reference stores its last frame at
+        prediction_timedelta 0, pipelines/utils.py:495-504). The forecast
+        trajectory does not include the t=0 frame (matches reference
+        prediction_timedelta>0 slots).
         """
         from ladcast_tpu.data import time_utils
 
         cfg = self.rollout_cfg
-        z = self.encode_fields(fields)  # (T_in, 15, 30, 84)
-        z = self.normalize_latent(z)
+        z_phys = self.encode_fields(fields)  # (T_in, 15, 30, 84) physical
+        z = self.normalize_latent(z_phys)
         known = jnp.broadcast_to(z[None], (cfg.ensemble_size, *z.shape))
         yp = jnp.asarray(time_utils.rollout_year_progress(
             init_ts_int, cfg.num_repetitions,
             cfg.step_size_hour * cfg.return_seq_len))
         traj = self.forecast_latents(known, yp, key)
         decoded = self.decode_latents(traj) if decode else None
-        return traj, decoded
+        return traj, decoded, z_phys

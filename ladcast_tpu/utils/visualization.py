@@ -16,10 +16,12 @@ import numpy as np
 
 def _has_cartopy() -> bool:
     """True only for a functional cartopy (a test-stubbed module that
-    merely imports must not select the projection path)."""
+    merely imports, or a partial install whose feature submodule is
+    broken, must not select the projection path)."""
     try:
         import cartopy.crs as ccrs
-        return hasattr(ccrs, "PlateCarree")
+        import cartopy.feature as cfeature
+        return hasattr(ccrs, "PlateCarree") and hasattr(cfeature, "BORDERS")
     except ImportError:
         return False
 

@@ -72,6 +72,9 @@ def test_npz_exporter(tmp_path):
     meta = json.loads(str(d["meta"]))
     assert meta["init_time"] == 2018010100
     assert len(meta["channel_names"]) == 84
+    # forecast-only bundle: frame i valid at init + (i+1)*step
+    # (timedelta 0 = analysis, never included in decoded output)
+    assert meta["prediction_timedelta_hours"] == [6, 12, 18]
 
 
 def test_visualization_smoke(tmp_path):

@@ -101,8 +101,9 @@ def test_forecast_pipeline_tiny(monkeypatch):
     pipe = pl_mod.ForecastPipeline(TINY, dcae_cfg, SCHED, rcfg,
                                    dit_params, dcae_params,
                                    compute_dtype="float32")
-    traj, decoded = pipe.forecast_from_fields(fields, 2018070100,
-                                              jax.random.PRNGKey(2))
+    traj, decoded, z_analysis = pipe.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
     assert traj.shape == (2, 2, 2, 4, 6)
+    assert z_analysis.shape == (1, 2, 4, 6)
     assert decoded.shape == (2, 2, 16, 32, C_dyn)
     assert np.isfinite(np.asarray(decoded)).all()

@@ -41,7 +41,7 @@ def _setup(seed):
 
     lat = np.linspace(-88.5, 90, H)
     lat_w = jnp.asarray(cos_lat_weights(lat), jnp.float32)
-    score = make_score_fn(dcae, params, lat_w, T, field_stats=(fm, fs))
+    score = make_score_fn(dcae, params, lat_w, field_stats=(fm, fs))
     m = score(lat_phys, jnp.asarray(truth), jnp.asarray(climate))
 
     # identical decoded PHYSICAL fields, computed independently
