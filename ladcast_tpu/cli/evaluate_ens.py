@@ -103,6 +103,16 @@ def main(argv=None):
     ap.add_argument("--dcae_params", required=True)
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--step_size_hour", type=int, default=6)
+    ap.add_argument("--no_crop_init", dest="crop_init",
+                    action="store_false", default=True,
+                    help="score ALL frames: for latent files that do not "
+                         "carry the t=0 analysis frame (reference "
+                         "--crop_init semantics, evaluate_ens_gpu.py:"
+                         "113-116; our pred_rollout always includes t=0, "
+                         "so cropping is the default)")
+    ap.add_argument("--force_ens_size", type=int, default=None,
+                    help="score only the first N members "
+                         "(evaluate_ens_gpu.py:118-122)")
     args = ap.parse_args(argv)
 
     if args.climatology is None and not args.allow_truth_mean_climatology:
@@ -131,7 +141,11 @@ def main(argv=None):
         # (E, C, T+1, h, w) reference layout, PHYSICAL latent scale
         # (see make_score_fn docstring)
         arr = np.load(f)
-        lat = np.moveaxis(arr, 1, -1)[:, 1:]  # drop t=0 -> (E, T, h, w, C)
+        if args.force_ens_size is not None:
+            arr = arr[: args.force_ens_size]
+        lat = np.moveaxis(arr, 1, -1)
+        if args.crop_init:
+            lat = lat[:, 1:]  # drop t=0 -> (E, T, h, w, C)
         T = lat.shape[1]
         lead_ts = [time_utils.add_hours_int(ts, args.step_size_hour * (i + 1))
                    for i in range(T)]
