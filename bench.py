@@ -45,7 +45,12 @@ def main():
     n_chips = len(jax.devices())
     cdt = jnp.bfloat16
 
-    dit_cfg = ladcast_375m_config()
+    # LADCAST_INT8=1: A/B the opt-in w8a8 int8 DiT matmul path
+    # (ops/quant.py) at the full-bench level. Approximate — never the
+    # default until validated on trained weights (PERFORMANCE.md).
+    import os
+    dit_cfg = ladcast_375m_config(
+        int8_matmuls=bool(os.environ.get("LADCAST_INT8")))
     dcae_cfg = DCAEConfig()
     sched_cfg = EDMSchedulerConfig()
     ens = -(-20 // n_chips) * n_chips  # pad to chip multiple

@@ -136,6 +136,11 @@ def main(argv=None):
                     help="opt-in APPROXIMATE acceleration: evaluate only "
                          "every N-th Heun correction, extrapolate the "
                          "rest (diffusion/samplers.py; 0 = exact)")
+    ap.add_argument("--int8_matmuls", action="store_true",
+                    help="opt-in APPROXIMATE acceleration: dynamic w8a8 "
+                         "int8 DiT matmuls on the int8 MXU path "
+                         "(ops/quant.py); validate skill before "
+                         "production use")
     ap.add_argument("--save_as_latent", action="store_true", default=True)
     ap.add_argument("--decode", dest="save_as_latent", action="store_false")
     ap.add_argument("--seed", type=int, default=0)
@@ -160,6 +165,9 @@ def main(argv=None):
         args.dit_params, "dit", dit_cfg, args.dit_subfolder)
     dcae_params, dcae_cfg = _load_any_params(
         args.dcae_params, "dcae", dcae_cfg, args.dcae_subfolder)
+    if args.int8_matmuls:
+        import dataclasses as _dc
+        dit_cfg = _dc.replace(dit_cfg, int8_matmuls=True)
 
     pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
                             dit_params, dcae_params)

@@ -113,6 +113,11 @@ class LaDCastDiTConfig:
     scale_attn_by_lat: bool = False
     # TPU-specific knobs (no reference equivalent)
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # Opt-in dynamic w8a8 int8 quantization of the transformer-block
+    # matmuls (ops/quant.py; the v5e int8 MXU path has 2x bf16
+    # throughput). Approximate — validate on trained weights before
+    # production use, like RolloutConfig.correction_skip_period.
+    int8_matmuls: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "rope_axes_dim", _tup(self.rope_axes_dim))

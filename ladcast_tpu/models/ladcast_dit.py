@@ -39,6 +39,7 @@ from ladcast_tpu.config import LaDCastDiTConfig
 from ladcast_tpu.ops import rope as rope_ops
 from ladcast_tpu.ops.embeddings import timestep_embedding, year_sincos_embedding
 from ladcast_tpu.ops.norms import layer_norm
+from ladcast_tpu.ops.quant import QuantizableDense as QDense
 
 
 # ---------------------------------------------------------------------------
@@ -91,14 +92,15 @@ class FeedForwardGelu(nn.Module):
     """diffusers FeedForward(activation_fn='gelu-approximate')."""
 
     mult: float = 4.0
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         inner = int(dim * self.mult)
-        h = nn.Dense(inner, name="proj_in")(x)
+        h = QDense(inner, quant=self.int8, name="proj_in")(x)
         h = nn.gelu(h, approximate=True)
-        return nn.Dense(dim, name="proj_out")(h)
+        return QDense(dim, quant=self.int8, name="proj_out")(h)
 
 
 class FeedForwardLinearSilu(nn.Module):
@@ -176,6 +178,7 @@ class JointAttention(nn.Module):
     num_heads: int
     head_dim: int
     attention_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, cond, rope_table, attn_bias=None):
@@ -183,12 +186,12 @@ class JointAttention(nn.Module):
 
         inner = self.num_heads * self.head_dim
         n_lat, n_cond = x.shape[1], cond.shape[1]
-        q = _split_heads(nn.Dense(inner, name="to_q")(x), self.num_heads)
-        k = _split_heads(nn.Dense(inner, name="to_k")(x), self.num_heads)
-        v = _split_heads(nn.Dense(inner, name="to_v")(x), self.num_heads)
-        cq = _split_heads(nn.Dense(inner, name="add_q_proj")(cond), self.num_heads)
-        ck = _split_heads(nn.Dense(inner, name="add_k_proj")(cond), self.num_heads)
-        cv = _split_heads(nn.Dense(inner, name="add_v_proj")(cond), self.num_heads)
+        q = _split_heads(QDense(inner, quant=self.int8, name="to_q")(x), self.num_heads)
+        k = _split_heads(QDense(inner, quant=self.int8, name="to_k")(x), self.num_heads)
+        v = _split_heads(QDense(inner, quant=self.int8, name="to_v")(x), self.num_heads)
+        cq = _split_heads(QDense(inner, quant=self.int8, name="add_q_proj")(cond), self.num_heads)
+        ck = _split_heads(QDense(inner, quant=self.int8, name="add_k_proj")(cond), self.num_heads)
+        cv = _split_heads(QDense(inner, quant=self.int8, name="add_v_proj")(cond), self.num_heads)
 
         wq = _norm_weight(self, "norm_q", self.head_dim)
         wk = _norm_weight(self, "norm_k", self.head_dim)
@@ -209,8 +212,8 @@ class JointAttention(nn.Module):
         out = _merge_heads(out).astype(x.dtype)
 
         x_out, c_out = out[:, :-n_cond], out[:, -n_cond:]
-        x_out = nn.Dense(inner, name="to_out")(x_out)
-        c_out = nn.Dense(inner, name="to_add_out")(c_out)
+        x_out = QDense(inner, quant=self.int8, name="to_out")(x_out)
+        c_out = QDense(inner, quant=self.int8, name="to_add_out")(c_out)
         return x_out, c_out
 
 
@@ -222,6 +225,7 @@ class ConcatStreamAttention(nn.Module):
     num_heads: int
     head_dim: int
     attention_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, cond, rope_table, cond_rope_table, attn_bias=None):
@@ -230,9 +234,9 @@ class ConcatStreamAttention(nn.Module):
         inner = self.num_heads * self.head_dim
         n_lat, n_cond = x.shape[1], cond.shape[1]
         h = jnp.concatenate([x, cond], axis=1)
-        q = _split_heads(nn.Dense(inner, name="to_q")(h), self.num_heads)
-        k = _split_heads(nn.Dense(inner, name="to_k")(h), self.num_heads)
-        v = _split_heads(nn.Dense(inner, name="to_v")(h), self.num_heads)
+        q = _split_heads(QDense(inner, quant=self.int8, name="to_q")(h), self.num_heads)
+        k = _split_heads(QDense(inner, quant=self.int8, name="to_k")(h), self.num_heads)
+        v = _split_heads(QDense(inner, quant=self.int8, name="to_v")(h), self.num_heads)
 
         wq = _norm_weight(self, "norm_q", self.head_dim)
         wk = _norm_weight(self, "norm_k", self.head_dim)
@@ -361,6 +365,7 @@ class DualStreamBlock(nn.Module):
     head_dim: int
     mlp_ratio: float
     attention_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, cond, temb, rope_table, attn_bias=None):
@@ -370,7 +375,7 @@ class DualStreamBlock(nn.Module):
             AdaLayerNormZero(name="norm1_context")(cond, temb)
 
         attn_x, attn_c = JointAttention(
-            self.num_heads, self.head_dim, self.attention_impl,
+            self.num_heads, self.head_dim, self.attention_impl, self.int8,
             name="attn")(norm_x, norm_c, rope_table, attn_bias)
 
         x = x + attn_x * gate_msa[:, None]
@@ -381,8 +386,10 @@ class DualStreamBlock(nn.Module):
         nc = layer_norm(cond, None, None, 1e-7)
         nc = nc * (1 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
 
-        x = x + FeedForwardGelu(self.mlp_ratio, name="ff")(nx) * gate_mlp[:, None]
-        cond = cond + FeedForwardGelu(self.mlp_ratio, name="ff_context")(nc) \
+        x = x + FeedForwardGelu(self.mlp_ratio, self.int8, name="ff")(nx) \
+            * gate_mlp[:, None]
+        cond = cond + FeedForwardGelu(self.mlp_ratio, self.int8,
+                                      name="ff_context")(nc) \
             * c_gate_mlp[:, None]
         return x, cond
 
@@ -394,6 +401,7 @@ class SingleStreamBlock(nn.Module):
     head_dim: int
     mlp_ratio: float
     attention_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, cond, temb, rope_table, cond_rope_table,
@@ -405,17 +413,18 @@ class SingleStreamBlock(nn.Module):
         residual = h
 
         norm_h, gate = AdaLayerNormZeroSingle(name="norm")(h, temb)
-        mlp_h = nn.gelu(nn.Dense(mlp_dim, name="proj_mlp")(norm_h),
+        mlp_h = nn.gelu(QDense(mlp_dim, quant=self.int8,
+                               name="proj_mlp")(norm_h),
                         approximate=True)
 
         attn_x, attn_c = ConcatStreamAttention(
-            self.num_heads, self.head_dim, self.attention_impl,
+            self.num_heads, self.head_dim, self.attention_impl, self.int8,
             name="attn")(norm_h[:, :-n_cond], norm_h[:, -n_cond:],
                          rope_table, cond_rope_table, attn_bias)
         attn_out = jnp.concatenate([attn_x, attn_c], axis=1)
 
         h = jnp.concatenate([attn_out, mlp_h], axis=2)
-        h = gate[:, None] * nn.Dense(dim, name="proj_out")(h)
+        h = gate[:, None] * QDense(dim, quant=self.int8, name="proj_out")(h)
         h = h + residual
         return h[:, :-n_cond], h[:, -n_cond:]
 
@@ -524,7 +533,7 @@ class LaDCastTransformer3D(nn.Module):
         for i in range(cfg.num_layers):
             x, cond = DualStreamBlock(
                 cfg.num_attention_heads, cfg.attention_head_dim,
-                cfg.mlp_ratio, cfg.attention_impl,
+                cfg.mlp_ratio, cfg.attention_impl, cfg.int8_matmuls,
                 name=f"transformer_blocks_{i}")(
                     x, cond, temb, rope_table, pred_bias)
 
@@ -532,7 +541,7 @@ class LaDCastTransformer3D(nn.Module):
         for i in range(cfg.num_single_layers):
             x, cond = SingleStreamBlock(
                 cfg.num_attention_heads, cfg.attention_head_dim,
-                cfg.mlp_ratio, cfg.attention_impl,
+                cfg.mlp_ratio, cfg.attention_impl, cfg.int8_matmuls,
                 name=f"single_transformer_blocks_{i}")(
                     x, cond, temb, rope_table, cond_rope_table, pred_bias)
 
