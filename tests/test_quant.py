@@ -120,6 +120,54 @@ def test_int8_forward_tracks_fp(tiny_io):
     np.testing.assert_array_equal(np.asarray(out_fp), np.asarray(out_fp2))
 
 
+def test_int8_rollout_sharded_over_mesh():
+    """int8 dot_general + per-row amax must partition cleanly under GSPMD
+    when members shard over the ens mesh axis (same contract as the fp
+    test in test_rollout.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ladcast_tpu.config import EDMSchedulerConfig, RolloutConfig
+    from ladcast_tpu.parallel.mesh import make_mesh
+    from ladcast_tpu.rollout.engine import ensemble_rollout
+
+    H, W, C = 4, 8, 6
+    sched = EDMSchedulerConfig()
+    rcfg = RolloutConfig(ensemble_size=8, num_inference_steps=2,
+                         return_seq_len=2, input_seq_len=1,
+                         total_lead_time_hour=12, step_size_hour=6)
+    model = LaDCastTransformer3D(_tiny_cfg(int8_matmuls=True))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, H, W, C)), jnp.zeros((1,)),
+                        jnp.zeros((1, 1, H, W, C)), jnp.zeros((1,)))
+
+    def net_fn(latents, c_noise, cond, yp):
+        return model.apply(params, latents, c_noise, cond, yp)
+
+    known = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (1, 1, H, W, C)),
+        (8, 1, H, W, C))
+    yp = jnp.asarray([0.4])
+    mesh = make_mesh("ens")
+    ens_sh = NamedSharding(mesh, P("ens"))
+    repl = NamedSharding(mesh, P())
+    fn = jax.jit(lambda k, y, kk: ensemble_rollout(net_fn, k, y, kk,
+                                                   sched, rcfg),
+                 in_shardings=(ens_sh, repl, repl),
+                 out_shardings=ens_sh)
+    traj = fn(jax.device_put(known, ens_sh), yp,
+              jax.device_put(jax.random.PRNGKey(7), repl))
+    assert traj.sharding.spec == P("ens")
+    assert np.isfinite(np.asarray(traj)).all()
+    ref = ensemble_rollout(net_fn, jax.device_put(known, repl), yp,
+                           jax.random.PRNGKey(7), sched, rcfg)
+    # Not elementwise-equal: GSPMD changes fp32 fusion/rounding before the
+    # int8 round(), so values at tie boundaries flip by one quantum. The
+    # contract is agreement in norm.
+    dev = float(np.linalg.norm(np.asarray(traj) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert dev < 5e-3, dev
+
+
 @pytest.mark.slow
 def test_pred_rollout_int8_flag(tmp_path):
     """--int8_matmuls drives the production CLI path end-to-end and
