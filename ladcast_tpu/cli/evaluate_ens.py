@@ -31,7 +31,8 @@ from ladcast_tpu.metrics.weights import grid_lat_weights
 from ladcast_tpu.models.dcae import AutoencoderDC
 
 
-def make_score_fn(dcae, dcae_params, lat_w, field_stats=None):
+def make_score_fn(dcae, dcae_params, lat_w, field_stats=None,
+                  diagnostics=False):
     """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics.
 
     ``latents`` arrive in PHYSICAL latent scale -- the scale the
@@ -72,7 +73,23 @@ def make_score_fn(dcae, dcae_params, lat_w, field_stats=None):
         crps_map = scores.crps(fc, tr[:, None], ensemble_axis=1)
         crps_v = jnp.nanmean(crps_map * lw, axis=(-2, -1))
         acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe=True)
-        return {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
+        out = {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
+        if diagnostics:
+            # Ensemble-calibration diagnostics (beyond the reference):
+            # spread (for the spread/skill ratio), rank histogram, and
+            # zonal power spectra of ens-mean vs truth (blur check).
+            # Truth NaNs (SST land) are zero-weighted / zero-filled for
+            # the spectrum (channel 82's spectrum is indicative only).
+            valid = jnp.isfinite(tr)
+            out["spread"] = scores.ensemble_spread(
+                fc, lw, ensemble_axis=1, nan_mask=valid)
+            out["rank_hist"] = scores.rank_histogram(
+                fc, tr, lw, ensemble_axis=1)
+            lwv = lat_w.astype(jnp.float32)
+            out["spectrum_fc"] = scores.zonal_power_spectrum(ens_mean, lwv)
+            out["spectrum_truth"] = scores.zonal_power_spectrum(
+                jnp.nan_to_num(tr), lwv)
+        return out
 
     def score(latents_phys, truth, climate):
         # params passed explicitly: closure-captured trees stall/overflow
@@ -113,6 +130,11 @@ def main(argv=None):
     ap.add_argument("--force_ens_size", type=int, default=None,
                     help="score only the first N members "
                          "(evaluate_ens_gpu.py:118-122)")
+    ap.add_argument("--diagnostics", action="store_true",
+                    help="also compute ensemble-calibration diagnostics "
+                         "(beyond the reference): spread + spread/skill "
+                         "ratio, rank histogram, zonal power spectra of "
+                         "ens-mean vs truth")
     args = ap.parse_args(argv)
 
     if args.climatology is None and not args.allow_truth_mean_climatology:
@@ -164,7 +186,8 @@ def main(argv=None):
             cl = np.broadcast_to(np.nanmean(truth, axis=0, keepdims=True),
                                  truth.shape)
         if score_fn is None:
-            score_fn = make_score_fn(dcae, dcae_params, lat_w)
+            score_fn = make_score_fn(dcae, dcae_params, lat_w,
+                                     diagnostics=args.diagnostics)
         m = score_fn(jnp.asarray(lat, jnp.float32),
                      jnp.asarray(truth, jnp.float32),
                      jnp.asarray(cl, jnp.float32))
@@ -179,9 +202,12 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     rank = dist.process_index()
-    for k in ("ens_mean_mse", "crps", "acc"):
+    keys = ["ens_mean_mse", "crps", "acc"]
+    if args.diagnostics:
+        keys += ["spread", "rank_hist", "spectrum_fc", "spectrum_truth"]
+    for k in keys:
         stacked = (np.stack([m[k] for m in acc_metrics]) if acc_metrics
-                   else np.zeros((0, 1, 1), np.float32))  # (N, C, T)
+                   else np.zeros((0, 1, 1), np.float32))  # (N, C, T, ...)
         np.save(os.path.join(args.output_dir, f"{k}.rank{rank}.npy"),
                 stacked)
     dist.barrier("scorer-shards-written")
@@ -189,7 +215,7 @@ def main(argv=None):
         return
 
     merged = {}
-    for k in ("ens_mean_mse", "crps", "acc"):
+    for k in keys:
         parts = [np.load(os.path.join(args.output_dir,
                                       f"{k}.rank{r}.npy"))
                  for r in range(dist.process_count())]
@@ -223,6 +249,11 @@ def main(argv=None):
                 ("mean_sea_level_pressure", None),
                 ("2m_temperature", None)]
     summary = {}
+    spread = merged["spread"].mean(0) if args.diagnostics else None
+    # fair finite-ensemble factor: calibrated iff RMSE == spread*sqrt((M+1)/M)
+    fair = (np.sqrt((merged["rank_hist"].shape[-1])
+                    / (merged["rank_hist"].shape[-1] - 1.0))
+            if args.diagnostics and merged["rank_hist"].ndim == 4 else 1.0)
     for var, level in headline:
         try:
             ci = ch.channel_index(var, level)
@@ -233,6 +264,12 @@ def main(argv=None):
             k: {"rmse": round(float(np.sqrt(mse[ci, t])), 4),
                 "crps": round(float(crps[ci, t]), 4)}
             for k, t in leads.items()}
+        if spread is not None:
+            for k, t in leads.items():
+                rmse_v = float(np.sqrt(mse[ci, t]))
+                summary[name][k]["spread"] = round(float(spread[ci, t]), 4)
+                summary[name][k]["ssr"] = round(
+                    float(spread[ci, t]) * fair / max(rmse_v, 1e-12), 4)
     with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"num_init_times": int(merged["crps"].shape[0]),

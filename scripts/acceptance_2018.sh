@@ -52,6 +52,14 @@ python -m ladcast_tpu.cli.evaluate_ens \
   --truth "$DATA" \
   --climatology "$CLIM" \
   --dcae_params "$DCAE" \
-  --output_dir "$OUT/scores"
+  --output_dir "$OUT/scores" \
+  --diagnostics
 
-echo "Scores in $OUT/scores -- compare per-variable RMSE/CRPS vs BASELINE.md"
+# Executable pass/fail against BASELINE.md's digitized curves (exits
+# nonzero when any (variable, day) point exceeds baseline * 1.15).
+python -m ladcast_tpu.cli.compare_baseline \
+  --scores "$OUT/scores" \
+  --plot "$OUT/scores/curves_vs_baseline.png" \
+  --output "$OUT/scores/baseline_verdict.json"
+
+echo "Verdict: $OUT/scores/baseline_verdict.json; curves: $OUT/scores/curves_vs_baseline.png"

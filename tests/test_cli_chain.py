@@ -109,7 +109,8 @@ def test_pred_rollout_to_evaluate_ens(tmp_path):
     scores_dir = str(tmp_path / "scores")
     evaluate_ens.main([
         "--latent_dir", out, "--truth", era5, "--dcae_params", dcae_dir,
-        "--output_dir", scores_dir, "--allow_truth_mean_climatology"])
+        "--output_dir", scores_dir, "--allow_truth_mean_climatology",
+        "--diagnostics"])
 
     with open(os.path.join(scores_dir, "summary.json")) as f:
         summary = json.load(f)
@@ -119,3 +120,13 @@ def test_pred_rollout_to_evaluate_ens(tmp_path):
     # the round-3 units bug (normalized-field scoring) produced O(1)
     z500 = summary["geopotential@500"]["final"]["rmse"]
     assert z500 > 100.0, f"z500 rmse {z500} looks normalized, not physical"
+
+    # --diagnostics artifacts (beyond reference): spread/ssr in the
+    # summary, rank-histogram bins sum to 1, spectra have W/2+1 bins
+    assert summary["geopotential@500"]["final"]["ssr"] > 0
+    rh = np.load(os.path.join(scores_dir, "rank_hist.npy"))
+    assert rh.shape[-1] == 2 + 1  # ens 2 -> 3 bins
+    np.testing.assert_allclose(rh.sum(-1), 1.0, rtol=1e-4)
+    spec = np.load(os.path.join(scores_dir, "spectrum_fc.npy"))
+    assert spec.shape[-1] == 240 // 2 + 1
+    assert np.isfinite(spec).all()
