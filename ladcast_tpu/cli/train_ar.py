@@ -121,6 +121,10 @@ def main(argv=None):
 
     cfg = load_yaml(args.config)
     model_cfg = config_from_dict(LaDCastDiTConfig, cfg.get("ar_model", {}))
+    if model_cfg.int8_matmuls:
+        raise SystemExit("int8_matmuls is an inference-only path (the "
+                         "int8 round/cast is not differentiable); remove "
+                         "it from the ar_model training config")
     sched_cfg = config_from_dict(EDMSchedulerConfig,
                                  cfg.get("noise_scheduler", {}).get("params", {}))
     ns_cfg = config_from_dict(NoiseSamplerConfig, cfg.get("noise_sampler", {}))

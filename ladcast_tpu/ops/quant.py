@@ -26,6 +26,9 @@ activations and compounds over blocks and sampler steps. The path is
 opt-in (``LaDCastDiTConfig.int8_matmuls``, default False) and must be
 validated on trained weights (latent-trajectory deviation + RMSE/CRPS)
 before any production default, exactly like ``correction_skip_period``.
+
+INFERENCE-ONLY: the round()/int8 casts are not differentiable; the
+training CLIs reject configs that enable it.
 """
 
 from __future__ import annotations
