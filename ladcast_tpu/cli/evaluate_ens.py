@@ -135,6 +135,10 @@ def main(argv=None):
                          "(beyond the reference): spread + spread/skill "
                          "ratio, rank histogram, zonal power spectra of "
                          "ens-mean vs truth")
+    ap.add_argument("--plot_diagnostics", default=None, metavar="PNG",
+                    help="with --diagnostics: write the calibration "
+                         "panel figure (RMSE vs spread, rank histograms, "
+                         "spectra) to this path")
     args = ap.parse_args(argv)
 
     if args.climatology is None and not args.allow_truth_mean_climatology:
@@ -272,6 +276,10 @@ def main(argv=None):
                     float(spread[ci, t]) * fair / max(rmse_v, 1e-12), 4)
     with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    if args.plot_diagnostics and args.diagnostics:
+        from ladcast_tpu.utils.visualization import plot_ens_diagnostics
+        plot_ens_diagnostics(args.output_dir, args.plot_diagnostics,
+                             step_size_hour=args.step_size_hour)
     print(json.dumps({"num_init_times": int(merged["crps"].shape[0]),
                       "saved": args.output_dir,
                       "summary": summary}))

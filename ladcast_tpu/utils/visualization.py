@@ -362,3 +362,80 @@ def plot_track_errors(
         fig.savefig(out_path, dpi=150)
         plt.close(fig)
     return fig
+
+
+def plot_ens_diagnostics(
+    scores_dir: str,
+    out_path: str,
+    headline: Sequence[tuple] = (("geopotential", 500),
+                                 ("temperature", 850),
+                                 ("u_component_of_wind", 850),
+                                 ("2m_temperature", None)),
+    step_size_hour: int = 6,
+):
+    """Ensemble-calibration panel from an ``evaluate_ens --diagnostics``
+    output dir (beyond the reference, which only tabulates RMSE/CRPS):
+    per-variable RMSE vs fair-corrected spread, rank histograms, and
+    zonal power spectra of the ensemble mean vs truth at day 1/5/10."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ladcast_tpu import channels as ch
+
+    def _load(name):
+        import os
+        return np.load(os.path.join(scores_dir, f"{name}.npy"))
+
+    rmse = np.sqrt(_load("ens_mean_mse").mean(0))          # (C, T)
+    spread = _load("spread").mean(0)                       # (C, T)
+    rank_hist = _load("rank_hist").mean(0)                 # (C, T, M+1)
+    spec_fc, spec_tr = _load("spectrum_fc").mean(0), \
+        _load("spectrum_truth").mean(0)                    # (C, T, K)
+    T = rmse.shape[1]
+    leads_d = (np.arange(T) + 1) * step_size_hour / 24.0
+    m = rank_hist.shape[-1] - 1
+    fair = np.sqrt((m + 1) / m)
+    day_ts = [d * 24 // step_size_hour - 1 for d in (1, 5, 10)
+              if d * 24 // step_size_hour - 1 < T] or [T - 1]
+
+    cols = len(headline)
+    fig, axes = plt.subplots(3, cols, figsize=(3.6 * cols, 9))
+    axes = np.atleast_2d(axes)
+    for j, (var, level) in enumerate(headline):
+        ci = ch.channel_index(var, level)
+        name = f"{var}@{level}" if level else var
+
+        ax = axes[0, j]
+        ax.plot(leads_d, rmse[ci], label="ens-mean RMSE", color="tab:blue")
+        ax.plot(leads_d, spread[ci] * fair, label="spread (fair)",
+                color="tab:orange")
+        ax.set_title(name, fontsize=9)
+        ax.set_xlabel("lead (days)")
+        ax.grid(alpha=0.3)
+        if j == 0:
+            ax.legend(fontsize=7)
+
+        ax = axes[1, j]
+        t_mid = day_ts[min(1, len(day_ts) - 1)]
+        ax.bar(np.arange(m + 1), rank_hist[ci, t_mid], color="tab:green")
+        ax.axhline(1.0 / (m + 1), color="k", linestyle="--", linewidth=0.8)
+        ax.set_xlabel(f"rank (day {(t_mid + 1) * step_size_hour / 24:.0f})")
+        if j == 0:
+            ax.set_ylabel("rank frequency")
+
+        ax = axes[2, j]
+        k = np.arange(1, spec_fc.shape[-1])
+        for t, c in zip(day_ts, ("tab:blue", "tab:purple", "tab:red")):
+            ax.loglog(k, spec_fc[ci, t, 1:], color=c, linewidth=1,
+                      label=f"fc d{(t + 1) * step_size_hour // 24}")
+        ax.loglog(k, spec_tr[ci, day_ts[0], 1:], color="k", linewidth=1,
+                  linestyle="--", label="truth")
+        ax.set_xlabel("zonal wavenumber")
+        if j == 0:
+            ax.set_ylabel("power")
+            ax.legend(fontsize=6)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

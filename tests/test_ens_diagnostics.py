@@ -78,6 +78,28 @@ def test_zonal_power_spectrum_single_mode_and_parseval():
     np.testing.assert_allclose(py.sum(), (y**2).mean(), rtol=1e-5)
 
 
+def test_plot_ens_diagnostics_smoke(tmp_path):
+    import os
+
+    from ladcast_tpu.utils.visualization import plot_ens_diagnostics
+
+    rng = np.random.default_rng(4)
+    N, C, T, M, K = 2, 84, 8, 5, 121
+    np.save(tmp_path / "ens_mean_mse.npy",
+            rng.uniform(0.5, 2.0, (N, C, T)).astype(np.float32))
+    np.save(tmp_path / "spread.npy",
+            rng.uniform(0.5, 2.0, (N, C, T)).astype(np.float32))
+    rh = rng.uniform(size=(N, C, T, M + 1)).astype(np.float32)
+    np.save(tmp_path / "rank_hist.npy", rh / rh.sum(-1, keepdims=True))
+    np.save(tmp_path / "spectrum_fc.npy",
+            rng.uniform(1e-6, 1.0, (N, C, T, K)).astype(np.float32))
+    np.save(tmp_path / "spectrum_truth.npy",
+            rng.uniform(1e-6, 1.0, (N, C, T, K)).astype(np.float32))
+    png = str(tmp_path / "diag.png")
+    plot_ens_diagnostics(str(tmp_path), png)
+    assert os.path.getsize(png) > 20000
+
+
 def test_zonal_power_spectrum_lat_weighted():
     H, W = 4, 16
     x = np.zeros((H, W))
