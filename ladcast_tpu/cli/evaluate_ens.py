@@ -99,6 +99,26 @@ def make_score_fn(dcae, dcae_params, lat_w, field_stats=None,
     return score
 
 
+def merge_rank_shards(output_dir, keys, n_ranks):
+    """Host-0 merge of per-rank metric shard files.
+
+    Ranks may have scored different numbers of init times (skips are
+    per-rank), so this concatenates only non-empty shards -- the reason
+    shard files are used instead of a collective gather
+    (evaluate_ens_gpu.py:448-468 gathers, which requires equal counts).
+    Writes and returns the merged ``<key>.npy`` arrays.
+    """
+    merged = {}
+    for k in keys:
+        parts = [np.load(os.path.join(output_dir, f"{k}.rank{r}.npy"))
+                 for r in range(n_ranks)]
+        parts = [p for p in parts if p.shape[0] > 0]
+        merged[k] = np.concatenate(parts) if parts \
+            else np.zeros((0, 1, 1), np.float32)
+        np.save(os.path.join(output_dir, f"{k}.npy"), merged[k])
+    return merged
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--latent_dir", required=True)
@@ -218,15 +238,8 @@ def main(argv=None):
     if rank != 0:
         return
 
-    merged = {}
-    for k in keys:
-        parts = [np.load(os.path.join(args.output_dir,
-                                      f"{k}.rank{r}.npy"))
-                 for r in range(dist.process_count())]
-        parts = [p for p in parts if p.shape[0] > 0]
-        merged[k] = np.concatenate(parts) if parts \
-            else np.zeros((0, 1, 1), np.float32)
-        np.save(os.path.join(args.output_dir, f"{k}.npy"), merged[k])
+    merged = merge_rank_shards(args.output_dir, keys,
+                               dist.process_count())
 
     if merged["crps"].shape[0] == 0:
         raise SystemExit(

@@ -78,6 +78,29 @@ def test_zonal_power_spectrum_single_mode_and_parseval():
     np.testing.assert_allclose(py.sum(), (y**2).mean(), rtol=1e-5)
 
 
+def test_merge_rank_shards_uneven_and_empty(tmp_path):
+    """Ranks scoring different init-time counts (incl. zero) must merge
+    in rank order without padding artifacts."""
+    from ladcast_tpu.cli.evaluate_ens import merge_rank_shards
+
+    d = str(tmp_path)
+    a = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    b = np.zeros((0, 1, 1), np.float32)                  # rank 1 scored none
+    c = 100 + np.arange(1 * 3 * 4, dtype=np.float32).reshape(1, 3, 4)
+    for r, arr in enumerate((a, b, c)):
+        np.save(f"{d}/crps.rank{r}.npy", arr)
+    merged = merge_rank_shards(d, ["crps"], 3)
+    assert merged["crps"].shape == (3, 3, 4)
+    np.testing.assert_array_equal(merged["crps"][:2], a)
+    np.testing.assert_array_equal(merged["crps"][2:], c)
+    np.testing.assert_array_equal(np.load(f"{d}/crps.npy"), merged["crps"])
+
+    # all-empty -> (0, 1, 1) sentinel the caller turns into a clear error
+    for r in range(2):
+        np.save(f"{d}/acc.rank{r}.npy", np.zeros((0, 1, 1), np.float32))
+    assert merge_rank_shards(d, ["acc"], 2)["acc"].shape == (0, 1, 1)
+
+
 def test_plot_ens_diagnostics_smoke(tmp_path):
     import os
 
