@@ -36,6 +36,39 @@ def grid_coords(num_steps: int, step_size_hour: int = 6):
     }
 
 
+def pack_variables(
+    decoded: np.ndarray,          # (ens, T, lat, lon, C_total) channels-last
+    atm_names: Sequence[str],
+    sur_names: Sequence[str],
+    num_levels: int,
+    extract_variables: Optional[Sequence[str]] = None,
+):
+    """Unpack the channel stack into per-variable arrays.
+
+    The channel convention is the reference's (dataloader/utils.py:309-353,
+    pipelines/utils.py:211-229): atmospheric variables first, each
+    contributing ``num_levels`` consecutive channels at
+    ``var_idx * num_levels``, then one channel per surface variable.
+    Returns ``{var: (ens, T, num_levels, lat, lon)}`` for atmospheric and
+    ``{var: (ens, T, lat, lon)}`` for surface variables — the
+    (prediction_timedelta, level) axis order of the reference
+    ``latent_ens_to_xarr`` (oracle-pinned in tests/test_oracle_export.py).
+    """
+    atm_names, sur_names = list(atm_names), list(sur_names)
+    names = (list(extract_variables) if extract_variables is not None
+             else atm_names + sur_names)
+    base = len(atm_names) * num_levels
+    out = {}
+    for var in names:
+        if var in atm_names:
+            start = atm_names.index(var) * num_levels
+            block = decoded[..., start:start + num_levels]  # (E,T,la,lo,lev)
+            out[var] = np.moveaxis(block, -1, 2)            # (E,T,lev,la,lo)
+        else:
+            out[var] = decoded[..., base + sur_names.index(var)]
+    return out
+
+
 def decoded_to_dataset(
     decoded: np.ndarray,          # (ens, T, lat, lon, 84) physical fields
     init_ts_int: int,
@@ -58,17 +91,15 @@ def decoded_to_dataset(
         "longitude": co["longitude"],
     }
     ds = xr.Dataset(coords=coords)
-    names = extract_variables or (list(ch.ATM_VARIABLES)
-                                  + list(ch.SURFACE_VARIABLES))
-    sl = ch.channel_slices()
-    for var in names:
-        block = decoded[..., sl[var]]  # (E, T, lat, lon, n)
+    packed = pack_variables(decoded, ch.ATM_VARIABLES, ch.SURFACE_VARIABLES,
+                            ch.NUM_LEVELS, extract_variables)
+    for var, arr in packed.items():
         if var in ch.ATM_VARIABLES:
-            data = np.moveaxis(block, -1, 2)[:, None]  # (E,1,T,lev,lat,lon)
+            data = arr[:, None]  # (E, 1, T, lev, lat, lon)
             dims = ("idx", "time", "prediction_timedelta", "level",
                     "latitude", "longitude")
         else:
-            data = block[..., 0][:, None]
+            data = arr[:, None]
             dims = ("idx", "time", "prediction_timedelta", "latitude",
                     "longitude")
         ds[var] = xr.DataArray(data.astype(np.float32), dims=dims)

@@ -194,6 +194,65 @@ class FakeDataArray(LabeledArray):
         return FakeDataArray(values, dims, coords)
 
 
+class OracleDataArray:
+    """The xr.DataArray slice ``latent_ens_to_xarr`` (pipelines/utils.py:
+    83-246) constructs and mutates: a numpy buffer + dims, with in-place
+    ``.values[...] = ...`` assignment."""
+
+    def __init__(self, data, dims=None, coords=None):
+        self.values = np.asarray(data)
+        self.dims = tuple(dims) if dims is not None else tuple(
+            f"dim_{i}" for i in range(self.values.ndim))
+        self.coords = dict(coords or {})
+        assert self.values.ndim == len(self.dims)
+
+
+class OracleDataset:
+    """The xr.Dataset surface ``latent_ens_to_xarr`` touches: construction
+    from coords, variable assignment, ``expand_dims`` (new dim prepended to
+    every variable, real-xarray default), per-variable dim-filtered
+    ``transpose``, no-op ``chunk``."""
+
+    def __init__(self, coords=None, data_vars=None):
+        self.coords = {k: np.asarray(v) for k, v in (coords or {}).items()}
+        self._v = dict(data_vars or {})
+
+    def __setitem__(self, name, da):
+        assert isinstance(da, OracleDataArray), type(da)
+        self._v[name] = da
+
+    def __getitem__(self, name):
+        return self._v[name]
+
+    def __contains__(self, name):
+        return name in self._v
+
+    @property
+    def data_vars(self):
+        return dict(self._v)
+
+    def expand_dims(self, dim):
+        assert isinstance(dim, dict), "oracle surface: expand_dims(dict)"
+        for d, vals in dim.items():
+            self.coords[d] = np.asarray(vals)
+            for da in self._v.values():
+                da.values = da.values[None]
+                da.dims = (d,) + da.dims
+        return self
+
+    def transpose(self, *order):
+        for da in self._v.values():
+            sub = [d for d in order if d in da.dims]
+            assert sorted(sub) == sorted(da.dims), (order, da.dims)
+            da.values = np.transpose(da.values,
+                                     [da.dims.index(d) for d in sub])
+            da.dims = tuple(sub)
+        return self
+
+    def chunk(self, *args, **kwargs):
+        return self
+
+
 class FakeDataset:
     """dict of LabeledArrays with xarray-Dataset surface for the tracker."""
 

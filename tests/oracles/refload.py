@@ -44,9 +44,14 @@ def load_reference(module: str):
     try:
         import xarray  # noqa: F401
     except ImportError:
+        from tests.oracles import fake_xarray
+        # Functional Dataset/DataArray stand-ins: enough surface for the
+        # reference latent_ens_to_xarr to execute as an oracle
+        # (tests/test_oracle_export.py); other oracle paths only need the
+        # names to exist for def-time-evaluated signatures.
         _stub_module("xarray",
-                     Dataset=type("Dataset", (), {}),
-                     DataArray=type("DataArray", (), {}))
+                     Dataset=fake_xarray.OracleDataset,
+                     DataArray=fake_xarray.OracleDataArray)
     # cartopy is likewise absent; evaluate/track.py imports it at module
     # scope but touches it only inside plotting bodies the oracles never
     # call. tests/oracles/fake_xarray.py supplies the xarray surface the
