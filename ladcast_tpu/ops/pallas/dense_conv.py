@@ -45,7 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+from ladcast_tpu.ops.pallas.depthwise_conv import _static_roll
 
 Pads = tuple  # ((ph0, ph1), (pw0, pw1))
 
@@ -85,18 +86,21 @@ def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, th: int,
     """One (batch, cout-block, h-tile) grid step."""
     h = pl.program_id(2)
     (ph0, _), (pw0, _) = pads
-    x = x_ref[0]                      # (bs_h, bs_w, Cin), H-halo'd
+    x = x_ref[...]                    # (bs_h, bs_w, Cin), H-halo'd
     bs_h, bs_w, _ = x.shape
     # Mask garbage-filled OOB halo rows (and, in the zero-pad case, halo
     # cols) to zero. This both protects against the undefined DMA pad
     # fill and implements the conv's zero padding (all pad reads land in
     # the invalid region).
-    row_l = h * th - ph0 + lax.broadcasted_iota(jnp.int32, (bs_h, bs_w), 0)
+    # Masks are built at the full 3-D tile shape: Mosaic cannot insert a
+    # minor dim on an i1 vector (`valid[..., None]` failed to lower for
+    # bf16 tiles on hardware, round 3).
+    row_l = h * th - ph0 + lax.broadcasted_iota(jnp.int32, x.shape, 0)
     valid = (row_l >= 0) & (row_l < H_in)
     if not circular_w:
-        col_l = -pw0 + lax.broadcasted_iota(jnp.int32, (bs_h, bs_w), 1)
+        col_l = -pw0 + lax.broadcasted_iota(jnp.int32, x.shape, 1)
         valid &= (col_l >= 0) & (col_l < W_in)
-    x = jnp.where(valid[..., None], x, jnp.zeros((), x.dtype))
+    x = jnp.where(valid, x, jnp.zeros((), x.dtype))
 
     # dx outer: each W-shift (a sublane rotation in the (..., W, C) tile
     # layout) is materialized once and reused by all kh row taps; the dy
@@ -107,7 +111,9 @@ def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, th: int,
     acc = jnp.zeros((th * W_out, co_blk), jnp.float32)
     for dx in range(kw):
         if circular_w:
-            xs = pltpu.roll(x, (pw0 - dx) % W_in, 1)
+            # static slice+concat roll: pltpu.roll -> tpu.dynamic_rotate
+            # is unimplemented for bf16 on hardware (see depthwise_conv)
+            xs = _static_roll(x, (pw0 - dx) % W_in, 1)
         else:
             xs = x[:, dx:dx + W_out, :]
         for dy in range(kh):
@@ -179,9 +185,13 @@ def _pallas_dense(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD, *,
     assert not circular_w or W_out == W_in, (W_out, W_in)
     nh, nco = H_out // th, -(-Cout // co_blk)
     bs_h = th + kh - 1
+    # Mosaic requires every dim of an Element-indexed block to be Element
+    # or Squeezed (all-or-none; lowering.py raises otherwise -- caught on
+    # hardware, round 3): batch is Squeezed (None), W and Cin are
+    # full-size Elements, H is the halo'd Element window.
     if circular_w:
         # full width, no W halo: wrap columns come from the tile itself
-        w_dim = W_in
+        w_dim = pl.Element(W_in)
     else:
         w_dim = pl.Element(W_out + kw - 1, (pw0, max(pw1, kw - 1 - pw0)))
 
@@ -196,8 +206,8 @@ def _pallas_dense(x: jnp.ndarray, k: jnp.ndarray, pads: Pads = _NO_PAD, *,
         grid=(B, nco, nh),
         in_specs=[
             pl.BlockSpec(
-                (1, pl.Element(bs_h, (ph0, max(ph1, kh - 1 - ph0))),
-                 w_dim, Cin),
+                (None, pl.Element(bs_h, (ph0, max(ph1, kh - 1 - ph0))),
+                 w_dim, pl.Element(Cin)),
                 lambda b, c, h: (b, h * th, 0, 0)),
             pl.BlockSpec((kh, kw, Cin, co_blk),
                          lambda b, c, h: (0, 0, 0, c)),

@@ -53,7 +53,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # One padded spatial tile must fit VMEM alongside its double-buffered
 # output block and the fp32 accumulator. Measured bound: cb=512 at a
@@ -95,6 +94,20 @@ def _xla_depthwise_circular(x: jnp.ndarray, k: jnp.ndarray,
         feature_group_count=C)
 
 
+def _static_roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """jnp.roll with a STATIC shift as slice+concat. Mosaic lowers
+    ``pltpu.roll`` to ``tpu.dynamic_rotate``, which is unimplemented for
+    non-32-bit data (caught on hardware, round 3: the bf16 production
+    dtype failed to compile); static slices/concat lower for any dtype."""
+    n = x.shape[axis]
+    s = shift % n
+    if s == 0:
+        return x
+    lo = lax.slice_in_dim(x, n - s, n, axis=axis)
+    hi = lax.slice_in_dim(x, 0, n - s, axis=axis)
+    return lax.concatenate([lo, hi], axis)
+
+
 def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, H: int, W: int,
             pads: Pads, circular_w: bool):
     """One (batch, channel-block) grid step.
@@ -117,7 +130,7 @@ def _kernel(x_ref, k_ref, o_ref, *, kh: int, kw: int, H: int, W: int,
     acc = None
     for dx in range(kw):
         if circular_w:
-            xs = pltpu.roll(x, (pw0 - dx) % W, 1)
+            xs = _static_roll(x, (pw0 - dx) % W, 1)
         else:
             xs = x[:, dx:dx + W, :]  # (Hp, W, cb), input dtype
         for dy in range(kh):

@@ -31,8 +31,8 @@ run() {
 run python scripts/check_kernels_tpu.py
 run python scripts/bench_dense_conv.py
 run env LADCAST_PALLAS_DEPTHWISE=1 python scripts/bench_depthwise.py
-run python scripts/bench_decode.py --batch
-run env LADCAST_PALLAS_DENSE=1 python scripts/bench_decode.py --batch
+run python scripts/bench_decode.py --batch 80
+run env LADCAST_PALLAS_DENSE=1 python scripts/bench_decode.py --batch 80
 #  6. int8 w8a8 DiT matmul path A/B (ops/quant.py, round-3b): forward
 #     speedup + full-repetition speedup + latent deviation.
 run python scripts/bench_int8.py --full
