@@ -36,7 +36,8 @@ from ladcast_tpu.data.latent_dataset import (
     open_zarr_latent_source,
 )
 from ladcast_tpu.parallel import dist
-from ladcast_tpu.parallel.mesh import make_mesh
+from ladcast_tpu.parallel.mesh import make_mesh, make_mesh_from_spec
+from ladcast_tpu.parallel.sharding_rules import train_state_sharding
 from ladcast_tpu.train import checkpoint as ckpt
 from ladcast_tpu.train.optim import make_optimizer
 from ladcast_tpu.train.trainer_ar import ARTrainConfig, make_ar_train_step
@@ -117,6 +118,28 @@ def main(argv=None):
                          "(config.json + reference-layout safetensors), "
                          "shippable to diffusers/reference users")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--mesh", default=None,
+                    help="device-mesh spec, e.g. 'data=-1' (pure DP, "
+                         "default) or 'data=1,model=8' (Megatron-TP over "
+                         "'model' for the 1.6B); overrides the yaml "
+                         "parallel.mesh mapping")
+    ap.add_argument("--zero", action="store_true", default=None,
+                    help="ZeRO-shard replicated optimizer/EMA mirrors "
+                         "over all mesh axes (default: on whenever the "
+                         "mesh has a model axis; yaml parallel.zero)")
+    ap.add_argument("--remat", action="store_true", default=None,
+                    help="per-block gradient checkpointing (the "
+                         "reference's gradient_checkpointing; needed for "
+                         "the 1.6B activation footprint); yaml "
+                         "general.remat")
+    ap.add_argument("--snr_gamma", type=float, default=None,
+                    help="min-SNR-gamma loss weighting (reference "
+                         "general_config.snr_gamma, train_AR.py:1014-1064)"
+                         "; yaml general.snr_gamma")
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="activation/matmul dtype (fp32 master weights "
+                         "either way); yaml general.compute_dtype")
     args = ap.parse_args(argv)
 
     cfg = load_yaml(args.config)
@@ -137,9 +160,17 @@ def main(argv=None):
     out_dir = args.output_dir or gen_cfg.get("output_dir", "runs/ar")
     num_steps = args.num_steps or gen_cfg.get("num_training_steps") or 100000
 
+    def _opt(cli_val, yaml_key, default, section=gen_cfg):
+        return cli_val if cli_val is not None else section.get(yaml_key,
+                                                               default)
+
+    snr_gamma = _opt(args.snr_gamma, "snr_gamma", None)
     tcfg = ARTrainConfig(
         num_push_forward_steps=args.num_push_forward_steps,
         lat_weighted_loss=args.lat_weighted_loss,
+        snr_gamma=None if snr_gamma is None else float(snr_gamma),
+        remat=bool(_opt(args.remat, "remat", False)),
+        compute_dtype=_opt(args.compute_dtype, "compute_dtype", "bfloat16"),
         use_ema=ema_cfg.get("use_ema", True),
         ema_max_decay=ema_cfg.get("ema_max_decay", 0.9999),
         ema_power=ema_cfg.get("ema_power", 2 / 3),
@@ -175,11 +206,23 @@ def main(argv=None):
     dataset = ARLatentDataset(source, wcfg, mean=lm, std=ls,
                               target_std=0.5)
 
-    mesh = make_mesh("data")
+    # Mesh: 1-D "data" (pure DP, the reference's DDP regime) by default;
+    # an N-D spec (CLI --mesh / yaml parallel.mesh) adds Megatron-TP over
+    # a "model" axis + ZeRO sharding of replicated optimizer/EMA mirrors
+    # (parallel/sharding_rules.py) -- the production path for the 1.6B,
+    # whose ~26 GB fp32 Adam+EMA state cannot replicate on 16 GB chips.
+    par_cfg = cfg.get("parallel", {})
+    mesh_spec = args.mesh or par_cfg.get("mesh")
+    mesh = make_mesh_from_spec(mesh_spec) if mesh_spec else make_mesh("data")
+    if "data" not in mesh.axis_names:
+        raise SystemExit(f"mesh {mesh_spec!r} must include a 'data' axis")
+    tp = mesh.shape.get("model", 1) > 1
+    zero = bool(_opt(args.zero, "zero", tp, section=par_cfg))
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P("data"))
     per_device_bs = dl_cfg.get("batch_size", 4)
-    global_bs = per_device_bs * len(mesh.devices.ravel())
+    # per-DATA-shard batch (TP chips within one data group share examples)
+    global_bs = per_device_bs * mesh.shape["data"]
 
     # per-host input feed: every process computes the same shuffled order
     # (shared seed) and reads only its contiguous slice of each global
@@ -192,18 +235,32 @@ def main(argv=None):
                         batch_slice=local_slice)
     example = next(it)
 
-    state = init_fn(jax.random.PRNGKey(args.seed), example)
+    # Materialize the train state directly into its target sharding
+    # (jitted init with out_shardings): with TP/ZeRO the full state never
+    # exists on any single device -- mandatory for the 1.6B, whose fp32
+    # params+Adam+EMA (~26 GB) exceed one v5e HBM.
+    if tp or zero:
+        abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(args.seed),
+                                  example)
+        state_sh = train_state_sharding(abstract, mesh, zero_mirrors=zero)
+    else:
+        state_sh = repl  # pytree-prefix: fully replicated (DDP regime)
+    state = jax.jit(init_fn, out_shardings=state_sh)(
+        jax.random.PRNGKey(args.seed), jax.device_put(example, bsh))
     mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"),
                             max_to_keep=gen_cfg.get("checkpoints_total_limit", 3))
     start_step = 0
     if args.resume:
+        # the sharded state is the restore template: orbax places each
+        # leaf with the template's sharding, so resume never gathers the
+        # full state onto one device either
         state = ckpt.restore_state(
             mgr, state, None if args.resume == "latest" else int(args.resume))
         start_step = int(state.step)
 
-    state = jax.device_put(state, repl)
-    step_fn = jax.jit(train_step, in_shardings=(repl, (bsh, bsh, bsh), repl),
-                      out_shardings=(repl, repl))
+    step_fn = jax.jit(train_step,
+                      in_shardings=(state_sh, (bsh, bsh, bsh), repl),
+                      out_shardings=(state_sh, repl))
 
     logger = MetricLogger(out_dir, config=cfg,
                           log_with=cfg.get("accelerator", {}).get("log_with",
@@ -349,7 +406,10 @@ def main(argv=None):
                 run_validation(state, step)
         if step % ckpt_every == 0 or step == num_steps:
             with timer.phase("checkpoint"):
-                ckpt.save_state(mgr, step, jax.device_get(state))
+                # hand orbax the live (possibly TP/ZeRO-sharded) arrays:
+                # it serializes each shard without gathering the full
+                # state onto one host/device
+                ckpt.save_state(mgr, step, state)
                 if args.hub_export and dist.process_index() == 0:
                     # diffusers-layout export (the reference's training
                     # hooks write ar_model/ + ar_model_ema/ the same way,
@@ -374,6 +434,8 @@ def main(argv=None):
                                 "optimization_step": int(state.step)})
     mgr.wait_until_finished()
     logger.close()
+    # returned for tests (sharding assertions); ignored by __main__
+    return state
 
 
 if __name__ == "__main__":

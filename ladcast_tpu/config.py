@@ -118,6 +118,13 @@ class LaDCastDiTConfig:
     # throughput). Approximate — validate on trained weights before
     # production use, like RolloutConfig.correction_skip_period.
     int8_matmuls: bool = False
+    # Per-block gradient checkpointing (nn.remat on every dual-/single-
+    # stream block): block boundaries are saved, block internals
+    # (attention, MLP) recomputed at backward time. Parity with the
+    # reference's gradient_checkpointing, which wraps the same blocks via
+    # torch.utils.checkpoint (LaDCast_3D_model.py:979-1010). Training-only;
+    # no effect on inference.
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "rope_axes_dim", _tup(self.rope_axes_dim))

@@ -529,17 +529,23 @@ class LaDCastTransformer3D(nn.Module):
             temb = temb * (1 + scale) + shift
         temb = temb.astype(latents.dtype)
 
-        # 3. Dual-stream blocks.
+        # 3+4. Dual-/single-stream blocks. With cfg.remat each block is a
+        # jax.checkpoint boundary (per-block gradient checkpointing, the
+        # reference's torch.utils.checkpoint wrap of the same blocks,
+        # LaDCast_3D_model.py:979-1010): only the (x, cond) residual
+        # streams are saved; attention/MLP internals are recomputed at
+        # backward time. Parameter names/paths are unchanged by nn.remat.
+        DSB = nn.remat(DualStreamBlock) if cfg.remat else DualStreamBlock
+        SSB = nn.remat(SingleStreamBlock) if cfg.remat else SingleStreamBlock
         for i in range(cfg.num_layers):
-            x, cond = DualStreamBlock(
+            x, cond = DSB(
                 cfg.num_attention_heads, cfg.attention_head_dim,
                 cfg.mlp_ratio, cfg.attention_impl, cfg.int8_matmuls,
                 name=f"transformer_blocks_{i}")(
                     x, cond, temb, rope_table, pred_bias)
 
-        # 4. Single-stream blocks.
         for i in range(cfg.num_single_layers):
-            x, cond = SingleStreamBlock(
+            x, cond = SSB(
                 cfg.num_attention_heads, cfg.attention_head_dim,
                 cfg.mlp_ratio, cfg.attention_impl, cfg.int8_matmuls,
                 name=f"single_transformer_blocks_{i}")(

@@ -32,6 +32,45 @@ def make_mesh(axis_name: str = "data",
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_from_spec(spec, devices: Optional[Sequence[jax.Device]] = None
+                        ) -> Mesh:
+    """N-D mesh from an axis-size spec.
+
+    ``spec`` is either a string ``"data=-1,model=2"`` (CLI form) or an
+    ordered mapping ``{"data": -1, "model": 2}`` (yaml ``parallel.mesh``
+    form). Exactly one axis may be ``-1`` ("fill with the remaining
+    devices"); the product of the sizes must equal the device count.
+    Axis order is layout order: the LAST axis varies fastest, so put the
+    most communication-heavy axis ("model") last to keep its collectives
+    on neighboring ICI links.
+    """
+    if isinstance(spec, str):
+        pairs = []
+        for part in spec.split(","):
+            name, _, size = part.partition("=")
+            pairs.append((name.strip(), int(size) if size else -1))
+    else:
+        pairs = [(str(k), int(v)) for k, v in spec.items()]
+    if not pairs:
+        raise ValueError("empty mesh spec")
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    fills = [i for i, (_, s) in enumerate(pairs) if s == -1]
+    if len(fills) > 1:
+        raise ValueError(f"at most one -1 axis in mesh spec, got {pairs}")
+    fixed = int(np.prod([s for _, s in pairs if s != -1]))
+    if fills:
+        if n % fixed != 0:
+            raise ValueError(
+                f"mesh spec {pairs} does not divide {n} devices")
+        pairs[fills[0]] = (pairs[fills[0]][0], n // fixed)
+    sizes = [s for _, s in pairs]
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh spec {pairs} != {n} devices")
+    names = tuple(name for name, _ in pairs)
+    return Mesh(np.asarray(devices).reshape(sizes), names)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

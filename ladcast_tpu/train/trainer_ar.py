@@ -76,6 +76,14 @@ def make_ar_train_step(
       year_progress:   (B, num_push_forward_steps) float32 (host-computed
                        year progress of t0 + 6h*s for each chunk s)
     """
+    if tcfg.remat and not dit_cfg.remat:
+        # per-block gradient checkpointing (nn.remat on each dual-/single-
+        # stream block, models/ladcast_dit.py) -- NOT a whole-model
+        # jax.checkpoint, so block-boundary residuals stay saved and only
+        # block internals are recomputed (the reference's
+        # torch.utils.checkpoint granularity, LaDCast_3D_model.py:979-1010).
+        import dataclasses as _dc
+        dit_cfg = _dc.replace(dit_cfg, remat=True)
     model = LaDCastTransformer3D(dit_cfg)
     train_sig = edm.train_sigmas(sched_cfg)
     c_dtype = jnp.dtype(tcfg.compute_dtype)
@@ -91,8 +99,6 @@ def make_ar_train_step(
 
     def apply_model(params, x_in, c_noise, cond, yp):
         fn = model.apply
-        if tcfg.remat:
-            fn = jax.checkpoint(model.apply, static_argnums=())
         # Mixed precision (reference: accelerate bf16 autocast,
         # configs/ladcast_375M.yaml:74): master params stay fp32 in the
         # optimizer; compute sees a bf16 copy. Without this cast flax's
