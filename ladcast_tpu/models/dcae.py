@@ -172,11 +172,10 @@ class SanaMultiscaleLinearAttention(nn.Module):
         #
         # Precision: the reference upcasts the whole qkv tensor to fp32
         # (DCAE.py:162-175). In fp32 inputs (parity tests) that is exact
-        # either way; in the bf16 production path we keep bf16 einsum
-        # operands with fp32 ACCUMULATION and fp32 normalization, avoiding
-        # two full HBM passes over the (1+n)*3C tensor per block.
-        if full.dtype == jnp.float32:
-            full = full.astype(jnp.float32)
+        # either way; in the bf16 production path we deliberately do NOT
+        # upcast here -- the einsums below keep bf16 operands with fp32
+        # ACCUMULATION (preferred_element_type) and fp32 normalization,
+        # avoiding two full HBM passes over the (1+n)*3C tensor per block.
         G = full.shape[-1] // (3 * hd)
         t = full.reshape(B, H * W, G, 3 * hd)
         qg = nn.relu(t[..., :hd])

@@ -46,7 +46,7 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 
-from ladcast_tpu.ops.pallas.depthwise_conv import _static_roll
+from ladcast_tpu.ops.pallas.utils import static_roll as _static_roll
 
 Pads = tuple  # ((ph0, ph1), (pw0, pw1))
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -41,8 +42,25 @@ def _pallas_depthwise_enabled() -> bool:
 
 def _pallas_dense_enabled() -> bool:
     """Opt-in switch for the Pallas implicit-GEMM dense conv path. Read
-    at trace time: set the env var before the first jit of a model fn."""
-    return os.environ.get("LADCAST_PALLAS_DENSE", "0") == "1"
+    at trace time: set the env var before the first jit of a model fn.
+
+    HARDWARE-BROKEN as of 2026-08-19: Mosaic rejects the kernel's
+    Element-block halo reads on real TPU ("Low padding not supported
+    yet" / the (8,128) block-divisibility rule) even though interpret
+    mode is green — see PERFORMANCE.md "Round-4 hardware measurements".
+    The gate therefore raises on TPU backends instead of producing a
+    confusing Mosaic compile error deep inside jit; interpret-mode CPU
+    tests (which exercise the kernel's math) still run.
+    """
+    if os.environ.get("LADCAST_PALLAS_DENSE", "0") != "1":
+        return False
+    if jax.default_backend() == "tpu":
+        raise RuntimeError(
+            "LADCAST_PALLAS_DENSE=1: the Pallas dense-conv kernel does "
+            "not lower on real TPU (Mosaic: low-padding/block-divisibility"
+            " limits; PERFORMANCE.md round-4). Unset the flag — the XLA "
+            "conv HLO is the supported dense-conv path.")
+    return True
 
 
 def sphere_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:

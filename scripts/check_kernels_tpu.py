@@ -140,6 +140,17 @@ DENSE_TOL = {jnp.bfloat16: 1.0, jnp.float32: 2e-2}
 def check_dense(rng):
     from ladcast_tpu.ops.pallas import dense_conv as dc
 
+    if jax.default_backend() == "tpu":
+        # Recorded negative result (round 4): Mosaic rejects the
+        # implicit-GEMM kernel's Element-block halo reads on real TPU
+        # (low-padding / (8,128) block divisibility), so the kernel
+        # cannot compile there; ops/sphere.py guards the env gate with
+        # a RuntimeError. PERFORMANCE.md "Round-4 hardware
+        # measurements". Interpret-mode CPU tests still pin its math.
+        print("dense: SKIPPED on TPU (kernel is hardware-broken by "
+              "Mosaic limits; recorded negative result, XLA conv HLO "
+              "is the production path)", flush=True)
+        return 0
     failures = 0
     for dtype in (jnp.bfloat16, jnp.float32):
         for (shape, cout, ksz) in DENSE_SHAPES:
@@ -197,6 +208,7 @@ def check_sphere_composition(rng):
         ((20, 15, 30, 8064), None, 3),    # depthwise GLUMB 3x3
     ]
     failures = 0
+    dense_broken = jax.default_backend() == "tpu"  # see check_dense note
     for dtype in (jnp.bfloat16, jnp.float32):
         for (shape, cout, ksz) in cases:
             C = shape[-1]
@@ -205,14 +217,20 @@ def check_sphere_composition(rng):
                 kern = jnp.asarray(rng.randn(ksz, ksz, 1, C), dtype) * 0.2
                 groups = C
             else:
+                groups = 1
+                if dense_broken:
+                    print(f"sphere/dense {np.dtype(dtype).name} {shape} "
+                          "k={}: SKIPPED on TPU (dense kernel "
+                          "hardware-broken)".format(ksz), flush=True)
+                    continue
                 kern = jnp.asarray(
                     rng.randn(ksz, ksz, C, cout), dtype) * 0.2
-                groups = 1
             os.environ["LADCAST_PALLAS_DENSE"] = "0"
             os.environ["LADCAST_PALLAS_DEPTHWISE"] = "0"
             ref = jax.jit(lambda a, b: sphere.sphere_conv2d(
                 a, b, groups=groups))(x, kern).astype(jnp.float32)
-            os.environ["LADCAST_PALLAS_DENSE"] = "1"
+            if not dense_broken:
+                os.environ["LADCAST_PALLAS_DENSE"] = "1"
             os.environ["LADCAST_PALLAS_DEPTHWISE"] = "1"
             out = jax.jit(lambda a, b: sphere.sphere_conv2d(
                 a, b, groups=groups))(x, kern).astype(jnp.float32)
