@@ -50,6 +50,7 @@ def _dim_name(dims: Sequence[str], candidates: Sequence[str],
 
 def wb2_climatology_to_arrays(
         ds, hours: Sequence[int] = DEFAULT_HOURS,
+        allow_partial_doy: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pack a WB2-layout climatology dataset into (clim, hours).
 
@@ -57,6 +58,13 @@ def wb2_climatology_to_arrays(
     (tuple of str) and ``.values`` (ndarray) -- xarray Datasets do; the
     golden test uses a minimal fake. Returns ``clim`` of shape
     (n_dayofyear, len(hours), lat, lon, 84) float32 and the hour array.
+
+    ``allow_partial_doy`` accepts a climatology covering only the first
+    N days of the year (the scorer indexes ``clim[tm_yday-1]``, so a
+    partial product can still score forecasts whose valid times stay
+    inside the covered range -- useful for single-month evaluations and
+    the acceptance-script smoke test). The Feb-29 leap-day insertion is
+    skipped for partial products that end before day 59.
     """
     hours = tuple(int(h) for h in hours)
     hr = np.asarray(ds["hour"].values).astype(np.int64)
@@ -66,9 +74,10 @@ def wb2_climatology_to_arrays(
                          f"(has {hr.tolist()})")
     hidx = np.asarray([int(np.where(hr == h)[0][0]) for h in hours])
     doy = np.asarray(ds["dayofyear"].values).astype(np.int64)
-    if len(doy) not in (365, 366):
+    if len(doy) not in (365, 366) and not allow_partial_doy:
         raise ValueError(f"dayofyear has length {len(doy)}, expected "
-                         "365/366 (WB2 layout)")
+                         "365/366 (WB2 layout); pass --allow_partial_doy "
+                         "for a deliberate partial-year product")
 
     probe = ds[ch.ATM_VARIABLES[0]]
     lat_name = _dim_name(probe.dims, ("latitude", "lat"), "latitude")
@@ -110,6 +119,10 @@ def wb2_climatology_to_arrays(
     for var in ch.SURFACE_VARIABLES:
         cols.append(extract(var, None))
     clim = np.stack(cols, axis=-1).astype(np.float32)
+    if allow_partial_doy and len(doy) not in (365, 366):
+        # partial-year product: no Feb-29 handling (leap-year valid
+        # times past Feb would misindex by one day -- documented limit)
+        return clim, np.asarray(hours, np.int64)
     if len(doy) == 365:
         # WB2 proper carries 366 rows; a 365-day product must grow a
         # Feb 29 bin AT index 59 (copy of Feb 28) -- the scorer indexes
@@ -130,6 +143,9 @@ def main(argv=None):
     ap.add_argument("--hours", default="0,6,12,18",
                     help="UTC hours to keep (the scorer's hour//6 "
                          "indexing assumes 0,6,12,18)")
+    ap.add_argument("--allow_partial_doy", action="store_true",
+                    help="accept a climatology covering only the first "
+                         "N days of the year (partial-year evaluation)")
     args = ap.parse_args(argv)
 
     try:
@@ -139,7 +155,8 @@ def main(argv=None):
                          f"not available: {e}")
     ds = xr.open_zarr(args.input)
     hours = [int(h) for h in args.hours.split(",")]
-    clim, hrs = wb2_climatology_to_arrays(ds, hours)
+    clim, hrs = wb2_climatology_to_arrays(ds, hours,
+                                          args.allow_partial_doy)
     np.savez(args.output, clim=clim, hours=hrs)
     print(f"wrote {args.output}: clim {clim.shape}, hours {hrs.tolist()}")
 

@@ -28,9 +28,25 @@ set -euo pipefail
 
 DIT=$1; DCAE=$2; DATA=$3; CLIM=$4; OUT=$5
 
+# Protocol knobs. Defaults are the REFERENCE protocol above; the env
+# overrides exist so tests/test_acceptance_script.py can execute this
+# exact script end-to-end on synthetic fixtures at smoke scale (a bash
+# typo or argument-plumbing bug must not wait for real checkpoints to
+# surface).
+YEAR=${ACC2018_YEAR:-2018}
+SPM=${ACC2018_SAMPLES_PER_MONTH:-10}
+ENS=${ACC2018_ENS:-20}
+STEPS=${ACC2018_STEPS:-20}
+RSEQ=${ACC2018_RETURN_SEQ:-4}
+LEAD=${ACC2018_LEAD_H:-240}
+
 if [[ "$CLIM" == *.zarr ]]; then
+  # ACC2018_CONVERT_ARGS: extra converter flags (the smoke test passes
+  # --allow_partial_doy for its 2-day synthetic climatology)
+  # shellcheck disable=SC2086
   python -m ladcast_tpu.cli.convert_wb2_climatology \
-    --input "$CLIM" --output "$OUT/climatology.npz"
+    --input "$CLIM" --output "$OUT/climatology.npz" \
+    ${ACC2018_CONVERT_ARGS:-}
   CLIM="$OUT/climatology.npz"
 fi
 
@@ -41,10 +57,10 @@ python -m ladcast_tpu.cli.pred_rollout \
   --data "$DATA" \
   --dit_params "$DIT" --dcae_params "$DCAE" \
   --output_dir "$OUT/latents" \
-  --year 2018 --num_samples_per_month 10 \
-  --ensemble_size 20 --num_inference_steps 20 \
-  --return_seq_len 4 --input_seq_len 1 \
-  --total_lead_time_hour 240 --step_size_hour 6 \
+  --year "$YEAR" --num_samples_per_month "$SPM" \
+  --ensemble_size "$ENS" --num_inference_steps "$STEPS" \
+  --return_seq_len "$RSEQ" --input_seq_len 1 \
+  --total_lead_time_hour "$LEAD" --step_size_hour 6 \
   --noise_level 0.0 --sampler edm --seed 0
 
 python -m ladcast_tpu.cli.evaluate_ens \
@@ -57,9 +73,13 @@ python -m ladcast_tpu.cli.evaluate_ens \
 
 # Executable pass/fail against BASELINE.md's digitized curves (exits
 # nonzero when any (variable, day) point exceeds baseline * 1.15).
+# The verdict json + plot are written either way; propagate the
+# pass/fail exit code after printing where they landed.
+VERDICT_RC=0
 python -m ladcast_tpu.cli.compare_baseline \
   --scores "$OUT/scores" \
   --plot "$OUT/scores/curves_vs_baseline.png" \
-  --output "$OUT/scores/baseline_verdict.json"
+  --output "$OUT/scores/baseline_verdict.json" || VERDICT_RC=$?
 
 echo "Verdict: $OUT/scores/baseline_verdict.json; curves: $OUT/scores/curves_vs_baseline.png"
+exit "$VERDICT_RC"
