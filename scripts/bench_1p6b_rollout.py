@@ -32,7 +32,10 @@ from ladcast_tpu.rollout.pipeline import cast_pytree
 
 def main():
     cdt = jnp.bfloat16
-    dit_cfg = ladcast_1p6b_config()
+    # LADCAST_INT8=1: A/B the opt-in w8a8 path at 1.6B shapes (same
+    # gate/semantics as bench.py; PERFORMANCE.md science gate applies).
+    int8 = bool(os.environ.get("LADCAST_INT8"))
+    dit_cfg = ladcast_1p6b_config(int8_matmuls=int8)
     dcae_cfg = DCAEConfig()
     sched_cfg = EDMSchedulerConfig()
     rcfg = RolloutConfig(ensemble_size=20)
@@ -93,7 +96,8 @@ def main():
     forecast(jax.random.PRNGKey(5))
     dt = time.time() - t0
     print(json.dumps({
-        "metric": "1.6B 20-member 240h ensemble rollout wall-clock (1 chip)",
+        "metric": "1.6B 20-member 240h ensemble rollout wall-clock (1 chip)"
+                  + (" [int8]" if int8 else ""),
         "value": round(dt, 2), "unit": "s"}), flush=True)
 
 

@@ -121,3 +121,20 @@ def test_missing_hours_rejected():
     ds = FakeDataset()
     with pytest.raises(ValueError, match="hours"):
         wb2_climatology_to_arrays(ds, hours=(0, 6, 12, 17))
+
+
+def test_partial_doy_rejected_by_default_accepted_with_flag():
+    """--allow_partial_doy (round 4, acceptance-script smoke support):
+    a partial-year product is an error unless explicitly allowed, and
+    the allowed path packs rows 1:N with NO Feb-29 insertion."""
+    ds = FakeDataset(n_doy=2)
+    with pytest.raises(ValueError, match="allow_partial_doy"):
+        wb2_climatology_to_arrays(ds)
+    clim, hours = wb2_climatology_to_arrays(ds, allow_partial_doy=True)
+    assert clim.shape == (2, 4, N_LAT - 1, N_LON, ch.NUM_DYNAMIC_CHANNELS)
+    assert hours.tolist() == list(DEFAULT_HOURS)
+    packed0 = _expected(ds, ch.ATM_VARIABLES[0], ch.PRESSURE_LEVELS[0])
+    np.testing.assert_array_equal(clim[..., 0], packed0)
+    # full-year products are unaffected by the flag
+    full, _ = wb2_climatology_to_arrays(FakeDataset(), allow_partial_doy=True)
+    assert full.shape[0] == 366
