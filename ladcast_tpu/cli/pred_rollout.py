@@ -123,6 +123,14 @@ def main(argv=None):
                          "directory (ignored otherwise)")
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--year", type=int, default=2018)
+    ap.add_argument("--start_date", default=None,
+                    help="YYYY-MM-DD[Thh]: evaluate a date range instead "
+                         "of --year (reference --start_date/--end_date, "
+                         "pred_rollout.py:110-117); per-month sampling "
+                         "still applies inside the range")
+    ap.add_argument("--end_date", default=None,
+                    help="YYYY-MM-DD[Thh] range end (inclusive); requires "
+                         "--start_date")
     ap.add_argument("--num_samples_per_month", type=int, default=10)
     ap.add_argument("--ensemble_size", type=int, default=20)
     ap.add_argument("--num_inference_steps", type=int, default=20)
@@ -175,8 +183,16 @@ def main(argv=None):
     source = (NpzFieldSource(args.data) if args.data.endswith(".npz")
               else ZarrFieldSource(args.data))
 
-    init_times = time_utils.filter_eval_timestamps(
-        [args.year], args.num_samples_per_month)
+    if (args.start_date is None) != (args.end_date is None):
+        ap.error("--start_date and --end_date must be given together")
+    if args.start_date:
+        init_times = time_utils.filter_eval_timestamps_range(
+            time_utils.date_str_to_int(args.start_date),
+            time_utils.date_str_to_int(args.end_date),
+            args.num_samples_per_month)
+    else:
+        init_times = time_utils.filter_eval_timestamps(
+            [args.year], args.num_samples_per_month)
     # host-level work sharding (reference split_between_processes)
     init_times = init_times[jax.process_index()::jax.process_count()]
 

@@ -86,3 +86,51 @@ def filter_eval_timestamps(
                 for hour in hours:
                     out.append(datetime_to_int(datetime(year, month, int(day), hour)))
     return sorted(out)
+
+
+def date_str_to_int(s: str) -> int:
+    """'YYYY-MM-DD[Thh]' -> YYYYMMDDHH int; a date-only string gets
+    hour 00 (the reference passes --start_date/--end_date as dates,
+    pred_rollout.py:110-117)."""
+    digits = "".join(c for c in s if c.isdigit())
+    if len(digits) == 8:
+        digits += "00"
+    if len(digits) != 10:
+        raise ValueError(f"expected YYYY-MM-DD[Thh], got {s!r}")
+    return int(digits)
+
+
+def filter_eval_timestamps_range(
+    start: int,
+    end: int,
+    num_samples_per_month: int,
+    hours: Sequence[int] = (0, 12),
+) -> List[int]:
+    """Date-range variant of the evaluation init-time protocol: the
+    reference's ``--start_date/--end_date`` + ``filter_time_range``
+    WITHOUT enforce_year (pred_rollout.py:242-250 feeding
+    dataloader/utils.py:577-600). For every (year, month) intersecting
+    [start, end]: ``num_samples_per_month`` days linspaced over
+    [1, last_day) (first day forced to 1) at 00z/12z, keeping only
+    timestamps <= end. Faithful reference quirk: generated days BEFORE
+    ``start`` in the first partial month are kept -- the reference clips
+    only against the range maximum.
+    """
+    sd, ed = int_to_datetime(start), int_to_datetime(end)
+    if sd > ed:
+        raise ValueError(f"start {start} is after end {end}")
+    out: List[int] = []
+    year, month = sd.year, sd.month
+    while (year, month) <= (ed.year, ed.month):
+        _, last_day = calendar.monthrange(year, month)
+        days = np.linspace(1, last_day, num_samples_per_month,
+                           endpoint=False)
+        days = np.round(days).astype(int)
+        days[0] = 1
+        for day in days:
+            for hour in hours:
+                ts = datetime_to_int(datetime(year, month, int(day), hour))
+                if ts <= end:
+                    out.append(ts)
+        year, month = (year + 1, 1) if month == 12 else (year, month + 1)
+    return sorted(out)

@@ -23,9 +23,29 @@ from ladcast_tpu import channels as ch
 _STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 
 
+def _static_path(name: str) -> str:
+    """Resolve a static asset, honoring the LADCAST_STATIC_DIR override.
+
+    Set LADCAST_STATIC_DIR to a directory holding same-named replacement
+    files to retarget normalization stats and static fields for a custom
+    retraining -- the TPU-side equivalent of the reference's
+    --normalization_json / --latent_normal_json / --lsm_path /
+    --orography_path flags (evaluate/pred_rollout.py:82-209), covering
+    every CLI at once. Files absent from the override dir fall back to
+    the bundled assets. Read at first use (results are lru_cached): set
+    the env var before the first static_data call.
+    """
+    override = os.environ.get("LADCAST_STATIC_DIR")
+    if override:
+        p = os.path.join(override, name)
+        if os.path.exists(p):
+            return p
+    return os.path.join(_STATIC_DIR, name)
+
+
 @functools.lru_cache(maxsize=None)
 def load_normalization_json(name: str = "ERA5_normal_1979_2017.json") -> Dict:
-    with open(os.path.join(_STATIC_DIR, name)) as f:
+    with open(_static_path(name)) as f:
         return json.load(f)
 
 
@@ -73,8 +93,8 @@ def latent_mean_std() -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=None)
 def _raw_static_fields() -> Tuple[np.ndarray, np.ndarray]:
-    lsm = np.load(os.path.join(_STATIC_DIR, "240x121_land_sea_mask.npy"))
-    oro = np.load(os.path.join(_STATIC_DIR, "240x121_orography.npy"))
+    lsm = np.load(_static_path("240x121_land_sea_mask.npy"))
+    oro = np.load(_static_path("240x121_orography.npy"))
     return lsm, oro
 
 

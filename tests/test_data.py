@@ -169,3 +169,70 @@ def test_ar_window_vs_reference_dataset():
             np.testing.assert_allclose(
                 np.transpose(out, (3, 0, 1, 2)), r_out.numpy(), rtol=1e-6)
             assert ts == r_ts
+
+
+def test_filter_eval_timestamps_range_vs_reference():
+    """Date-range protocol oracle: the ACTUAL reference filter_time_range
+    WITHOUT enforce_year over a partial multi-month (and cross-year)
+    range (pred_rollout.py:242-250 with --start_date/--end_date)."""
+    import pandas as pd
+
+    from tests.oracles.refload import load_reference
+
+    dutils = load_reference("ladcast.dataloader.utils")
+    for start, end in (("2018-06-15", "2018-09-30"),
+                       ("2017-11-03", "2018-02-20"),
+                       ("2018-03-01", "2018-03-02")):
+        idx = pd.date_range(start, end, freq="12h")
+        ref = dutils.filter_time_range(idx, num_samples_per_month=4)
+        ref_ints = sorted(int(ts.strftime("%Y%m%d%H")) for ts in ref)
+        got = time_utils.filter_eval_timestamps_range(
+            time_utils.date_str_to_int(start),
+            time_utils.date_str_to_int(end), 4)
+        assert got == ref_ints, (start, end)
+
+
+def test_date_str_to_int():
+    assert time_utils.date_str_to_int("2018-06-01") == 2018060100
+    assert time_utils.date_str_to_int("2018-06-01T12") == 2018060112
+    import pytest
+    with pytest.raises(ValueError):
+        time_utils.date_str_to_int("2018-6")
+
+
+def test_static_dir_override(tmp_path):
+    """LADCAST_STATIC_DIR retargets normalization stats / static fields
+    (the reference's --normalization_json / --lsm_path etc. in one
+    mechanism); absent files fall back to the bundled assets."""
+    import json
+    import os
+
+    from ladcast_tpu import static_data
+
+    base_mean, base_std = static_data.era5_mean_std()
+    lat_m, lat_s = static_data.latent_mean_std()
+    custom = {"mean": (np.asarray(lat_m) + 1.0).tolist(),
+              "std": (np.asarray(lat_s) * 2.0).tolist()}
+    with open(tmp_path / "ERA5_latent_normal_1979_2017_lat84.json",
+              "w") as f:
+        json.dump(custom, f)
+    old = os.environ.get("LADCAST_STATIC_DIR")
+    try:
+        os.environ["LADCAST_STATIC_DIR"] = os.fspath(tmp_path)
+        static_data.load_normalization_json.cache_clear()
+        static_data.latent_mean_std.cache_clear()
+        static_data.era5_mean_std.cache_clear()
+        m2, s2 = static_data.latent_mean_std()
+        np.testing.assert_allclose(m2, np.asarray(lat_m) + 1.0)
+        np.testing.assert_allclose(s2, np.asarray(lat_s) * 2.0)
+        # field stats file absent from the override dir -> bundled
+        fm2, fs2 = static_data.era5_mean_std()
+        np.testing.assert_array_equal(fm2, base_mean)
+    finally:
+        if old is None:
+            os.environ.pop("LADCAST_STATIC_DIR", None)
+        else:
+            os.environ["LADCAST_STATIC_DIR"] = old
+        static_data.load_normalization_json.cache_clear()
+        static_data.latent_mean_std.cache_clear()
+        static_data.era5_mean_std.cache_clear()
