@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--dcae_params", required=True)
     ap.add_argument("--output", required=True, help=".zarr or .npz path")
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--start_date", default=None,
+                    help="YYYY-MM-DD[Thh]: encode only timestamps >= this "
+                         "(reference encode_data.py --start_date)")
+    ap.add_argument("--end_date", default=None,
+                    help="YYYY-MM-DD[Thh]: encode only timestamps <= this")
     args = ap.parse_args(argv)
 
     from ladcast_tpu.cli.pred_rollout import _load_any_params, \
@@ -54,6 +59,16 @@ def main(argv=None):
     fields = getattr(src, "fields", None) \
         if args.data.endswith(".npz") else None  # npz is in-RAM already
     timestamps = np.asarray(timestamps, np.int64)
+    if args.start_date or args.end_date:
+        from ladcast_tpu.data import time_utils
+        lo = (time_utils.date_str_to_int(args.start_date)
+              if args.start_date else 0)
+        hi = (time_utils.date_str_to_int(args.end_date)
+              if args.end_date else 9_999_999_999)
+        keep = (timestamps >= lo) & (timestamps <= hi)
+        if fields is not None:
+            fields = fields[keep]
+        timestamps = timestamps[keep]
 
     lats = []
     n = len(timestamps)

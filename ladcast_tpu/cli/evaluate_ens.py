@@ -119,6 +119,21 @@ def merge_rank_shards(output_dir, keys, n_ranks):
     return merged
 
 
+def filter_latent_files(files, start_date=None, end_date=None,
+                        total_lead_time_hour=None):
+    """Restrict latent_*.npy files to init times in [start, end - lead]
+    (the reference bounds scoring so the full forecast's truth exists
+    before end_date, evaluate_ens_gpu.py:213-215)."""
+    if not (start_date or end_date):
+        return files
+    lo = time_utils.date_str_to_int(start_date) if start_date else 0
+    hi = (time_utils.add_hours_int(time_utils.date_str_to_int(end_date),
+                                   -(total_lead_time_hour or 0))
+          if end_date else 9_999_999_999)
+    return [f for f in files if lo <= int(
+        os.path.basename(f).split("_")[-1].split(".")[0]) <= hi]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--latent_dir", required=True)
@@ -140,6 +155,17 @@ def main(argv=None):
     ap.add_argument("--dcae_params", required=True)
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--step_size_hour", type=int, default=6)
+    ap.add_argument("--start_date", default=None,
+                    help="YYYY-MM-DD[Thh]: score only init times >= this "
+                         "(reference --start_date, evaluate_ens_gpu.py:83)")
+    ap.add_argument("--end_date", default=None,
+                    help="YYYY-MM-DD[Thh]: score only init times whose "
+                         "FULL forecast fits before this, i.e. init <= "
+                         "end - total_lead (evaluate_ens_gpu.py:213-215)")
+    ap.add_argument("--total_lead_time_hour", type=int, default=None,
+                    help="score only the first N=total/step lead frames "
+                         "(default: every frame in the latent files); "
+                         "also the lead budget --end_date reserves")
     ap.add_argument("--no_crop_init", dest="crop_init",
                     action="store_false", default=True,
                     help="score ALL frames: for latent files that do not "
@@ -178,6 +204,8 @@ def main(argv=None):
 
     lat_w = jnp.asarray(grid_lat_weights("cos"), jnp.float32)
     files = sorted(glob.glob(os.path.join(args.latent_dir, "latent_*.npy")))
+    files = filter_latent_files(files, args.start_date, args.end_date,
+                                args.total_lead_time_hour)
     files = files[jax.process_index()::jax.process_count()]
 
     score_fn = None
@@ -192,6 +220,8 @@ def main(argv=None):
         lat = np.moveaxis(arr, 1, -1)
         if args.crop_init:
             lat = lat[:, 1:]  # drop t=0 -> (E, T, h, w, C)
+        if args.total_lead_time_hour is not None:
+            lat = lat[:, : args.total_lead_time_hour // args.step_size_hour]
         T = lat.shape[1]
         lead_ts = [time_utils.add_hours_int(ts, args.step_size_hour * (i + 1))
                    for i in range(T)]

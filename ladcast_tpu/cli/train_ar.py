@@ -88,6 +88,12 @@ def main(argv=None):
     ap.add_argument("--latents", default=None)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--init_weights", default=None,
+                    help="weights-only warm start from any checkpoint "
+                         "layout (orbax dir, .safetensors, diffusers hub "
+                         "dir): params + EMA loaded, optimizer/step fresh "
+                         "-- the reference --load_weights_only; ignored "
+                         "when --resume is given")
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--num_push_forward_steps", type=int, default=1)
     ap.add_argument("--lat_weighted_loss", action="store_true")
@@ -158,7 +164,8 @@ def main(argv=None):
     ema_cfg = cfg.get("ema", {})
 
     out_dir = args.output_dir or gen_cfg.get("output_dir", "runs/ar")
-    num_steps = args.num_steps or gen_cfg.get("num_training_steps") or 100000
+    num_steps = (args.num_steps if args.num_steps is not None
+                 else gen_cfg.get("num_training_steps") or 100000)
 
     def _opt(cli_val, yaml_key, default, section=gen_cfg):
         return cli_val if cli_val is not None else section.get(yaml_key,
@@ -257,6 +264,21 @@ def main(argv=None):
         state = ckpt.restore_state(
             mgr, state, None if args.resume == "latest" else int(args.resume))
         start_step = int(state.step)
+    elif args.init_weights:
+        # weights-only warm start (the reference's --resume_from_checkpoint
+        # + --load_weights_only, train_AR.py:796-837): params/EMA from any
+        # checkpoint layout (orbax dir, .safetensors, diffusers hub dir),
+        # fresh optimizer and step 0. Each leaf is placed with the live
+        # state's sharding, so TP/ZeRO runs never gather the full tree.
+        from ladcast_tpu.cli.pred_rollout import _load_any_params
+        wparams, _ = _load_any_params(args.init_weights, "dit", model_cfg)
+        wparams = jax.tree.map(
+            lambda tgt, w: jax.device_put(
+                jnp.asarray(w, tgt.dtype), tgt.sharding),
+            state.params, wparams)
+        state = state._replace(params=wparams)
+        if state.ema is not None:
+            state = state._replace(ema=state.ema._replace(params=wparams))
 
     step_fn = jax.jit(train_step,
                       in_shardings=(state_sh, (bsh, bsh, bsh), repl),

@@ -43,6 +43,13 @@ def main(argv=None):
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--init_weights", default=None,
+                    help="weights-only warm start from any checkpoint "
+                         "layout (orbax dir, .safetensors, diffusers hub "
+                         "dir): params + EMA loaded, optimizer/step fresh "
+                         "-- the reference --load_weights_only; required "
+                         "in practice for ft_decoder_only finetunes; "
+                         "ignored when --resume is given")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--val_data", default=None,
                     help="held-out ERA5 zarr/.npz for validation "
@@ -70,7 +77,7 @@ def main(argv=None):
     gen_cfg = cfg.get("general", {})
     ema_cfg = cfg.get("ema", {})
     out_dir = args.output_dir or gen_cfg.get("output_dir", "runs/dcae")
-    num_steps = args.num_steps or (
+    num_steps = args.num_steps if args.num_steps is not None else (
         train_cfg.get("num_train_epochs", 30)
         * train_cfg.get("epoch_length", 341875)
         // max(train_cfg.get("batch_size", 4), 1))
@@ -142,6 +149,16 @@ def main(argv=None):
     if args.resume:
         state = ckpt.restore_state(
             mgr, state, None if args.resume == "latest" else int(args.resume))
+    elif args.init_weights:
+        # weights-only warm start (reference --load_weights_only; the
+        # ft_decoder flow loads the pretrained autoencoder this way)
+        from ladcast_tpu.cli.pred_rollout import _load_any_params
+        wparams, _ = _load_any_params(args.init_weights, "dcae", dcae_cfg)
+        wparams = jax.tree.map(
+            lambda tgt, w: jnp.asarray(w, tgt.dtype), state.params, wparams)
+        state = state._replace(params=wparams)
+        if state.ema is not None:
+            state = state._replace(ema=state.ema._replace(params=wparams))
     state = jax.device_put(state, repl)
     step_fn = jax.jit(train_step,
                       in_shardings=(repl, (bsh, bsh, repl), repl),
@@ -256,6 +273,9 @@ def main(argv=None):
                 run_validation(step)
     mgr.wait_until_finished()
     logger.close()
+    # returned for tests (warm-start / freezing assertions); ignored by
+    # __main__ -- same contract as cli/train_ar.py
+    return state
 
 
 if __name__ == "__main__":

@@ -18,7 +18,9 @@ def cosine_with_min_lr(base_lr: float, min_lr: float, num_warmup_steps: int,
                        num_training_steps: int):
     """models/utils.py:83-95: warmup then
     min_ratio + (1 - min_ratio) * 0.5*(1 + cos(pi * progress))."""
-    min_ratio = min_lr / base_lr
+    # base_lr 0 is legal (freeze-everything debug runs): ratio 0 keeps
+    # the whole schedule at 0 instead of dividing by zero
+    min_ratio = min_lr / base_lr if base_lr > 0 else 0.0
 
     def schedule(step):
         import jax.numpy as jnp

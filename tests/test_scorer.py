@@ -114,3 +114,26 @@ def test_score_fn_matches_reference_loop_composition():
         np.testing.assert_allclose(np.asarray(m["crps"])[:, t],
                                    _split_mean(crps_t).numpy(),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_filter_latent_files():
+    """Scorer date-range bounds: init in [start, end - total_lead]
+    (reference evaluate_ens_gpu.py:83-89, 213-215)."""
+    from ladcast_tpu.cli.evaluate_ens import filter_latent_files
+
+    files = [f"/x/latent_{t}.npy" for t in
+             (2018010100, 2018061500, 2018123012, 2018123112)]
+    assert filter_latent_files(files) == files
+    got = filter_latent_files(files, start_date="2018-06-01")
+    assert got == files[1:]
+    # end 2018-12-31 with a 240 h lead: init must be <= 12-21 00z
+    got = filter_latent_files(files, end_date="2018-12-31",
+                              total_lead_time_hour=240)
+    assert got == files[:2]
+    # a date-only end lands at 00z: the 12-31 12z init is out of range
+    got = filter_latent_files(files, start_date="2018-06-01",
+                              end_date="2018-12-31")
+    assert got == files[1:3]
+    got = filter_latent_files(files, start_date="2018-06-01",
+                              end_date="2018-12-31T12")
+    assert got == files[1:]

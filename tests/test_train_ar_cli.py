@@ -160,3 +160,46 @@ def test_train_ar_checkpoint_resume(tmp_path):
     assert all(np.isfinite(r["loss"]) for r in recs)
     ckpts = os.listdir(os.path.join(out, "ckpts"))
     assert any(c.endswith("4") or c == "4" for c in ckpts), ckpts
+
+
+def test_train_ar_init_weights(tmp_path):
+    """--init_weights: weights-only warm start (the reference
+    --resume_from_checkpoint + --load_weights_only) from a diffusers hub
+    dir; params AND the EMA mirror take the loaded values, step is 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladcast_tpu.cli import train_ar
+    from ladcast_tpu.config import LaDCastDiTConfig, config_from_dict
+    from ladcast_tpu.models import hub
+    from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+
+    import yaml as _yaml
+
+    _, lat = _fixtures(tmp_path)
+    # lr=0: after one real step params must equal the loaded weights
+    # EXACTLY (adamw update and decoupled weight decay both scale by lr),
+    # which pins that the warm start actually took effect
+    cfg = {**TINY_AR_CFG, "optimizer": {"lr": 0.0}}
+    cfg_path = os.fspath(tmp_path / "warm.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    model_cfg = config_from_dict(LaDCastDiTConfig, TINY_AR_CFG["ar_model"])
+    dit = LaDCastTransformer3D(model_cfg)
+    pretrained = dit.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 4, 15, 30, 84)),
+        jnp.zeros((1,)), jnp.zeros((1, 1, 15, 30, 84)), jnp.zeros((1,)))
+    wdir = os.fspath(tmp_path / "weights")
+    hub.save_pretrained(wdir, "dit", model_cfg, pretrained)
+
+    out = os.fspath(tmp_path / "warm")
+    state = train_ar.main([
+        "--config", cfg_path, "--latents", lat, "--output_dir", out,
+        "--num_steps", "1", "--init_weights", wdir])
+    assert int(state.step) == 1
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(pretrained)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0, err_msg=str(pa))

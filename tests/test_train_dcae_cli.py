@@ -72,3 +72,52 @@ def test_train_dcae_validation_and_best_ckpt(tmp_path):
     from ladcast_tpu.train.checkpoint import load_params
     params = load_params(os.fspath(best / dirs[-1]))
     assert "params" in params
+
+
+def test_train_dcae_ft_decoder_init_weights(tmp_path):
+    """The reference decoder-finetune flow (--ft_decoder +
+    --load_weights_only): --init_weights loads a pretrained autoencoder,
+    ft_decoder_only freezes the encoder -- after 2 real steps the encoder
+    leaves still equal the pretrained values and decoder leaves moved."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladcast_tpu.cli.train_dcae import main
+    from ladcast_tpu.config import DCAEConfig, config_from_dict
+    from ladcast_tpu.models import hub
+    from ladcast_tpu.models.dcae import AutoencoderDC
+
+    dcae_cfg = config_from_dict(DCAEConfig, TINY_CFG["encdec"])
+    dcae = AutoencoderDC(dcae_cfg)
+    pretrained = dcae.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 120, 240, 84)),
+                           jnp.zeros((120, 240, 5)))
+    wdir = os.fspath(tmp_path / "weights")
+    hub.save_pretrained(wdir, "dcae", dcae_cfg, pretrained)
+
+    data = os.fspath(tmp_path / "era5.npz")
+    _write_npz(data)
+    cfg = {**TINY_CFG, "train": {**TINY_CFG["train"],
+                                 "ft_decoder_only": True},
+           "general": {"checkpointing_steps": 1000, "val_every_steps": 2}}
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = os.fspath(tmp_path / "ft")
+    state = main(["--config", os.fspath(cfg_path), "--data", data,
+                  "--output_dir", out, "--num_steps", "2",
+                  "--init_weights", wdir])
+
+    trained = jax.device_get(state.params)
+    enc_a = trained["params"]["encoder"]
+    enc_b = pretrained["params"]["encoder"]
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(enc_a)[0],
+            jax.tree_util.tree_flatten_with_path(enc_b)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), pa
+    dk_a = trained["params"]["decoder"]
+    dk_b = pretrained["params"]["decoder"]
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(dk_a),
+                        jax.tree_util.tree_leaves(dk_b)))
+    assert moved, "decoder did not train"
