@@ -120,8 +120,16 @@ def wb2_climatology_to_arrays(
         cols.append(extract(var, None))
     clim = np.stack(cols, axis=-1).astype(np.float32)
     if allow_partial_doy and len(doy) not in (365, 366):
-        # partial-year product: no Feb-29 handling (leap-year valid
-        # times past Feb would misindex by one day -- documented limit)
+        # the scorer indexes clim[tm_yday-1]: a partial product must be
+        # anchored at Jan 1 and contiguous, or every lookup lands on the
+        # wrong row (a June-only subset would pack day 152 at row 0)
+        if not np.array_equal(doy, np.arange(1, len(doy) + 1)):
+            raise ValueError(
+                "partial climatology must cover days 1..N contiguously "
+                f"(dayofyear starts at {doy[0]}); the scorer indexes "
+                "clim[tm_yday-1]")
+        # no Feb-29 handling (leap-year valid times past Feb would
+        # misindex by one day -- documented limit)
         return clim, np.asarray(hours, np.int64)
     if len(doy) == 365:
         # WB2 proper carries 366 rows; a 365-day product must grow a

@@ -61,10 +61,7 @@ def main(argv=None):
     timestamps = np.asarray(timestamps, np.int64)
     if args.start_date or args.end_date:
         from ladcast_tpu.data import time_utils
-        lo = (time_utils.date_str_to_int(args.start_date)
-              if args.start_date else 0)
-        hi = (time_utils.date_str_to_int(args.end_date)
-              if args.end_date else 9_999_999_999)
+        lo, hi = time_utils.date_bounds(args.start_date, args.end_date)
         keep = (timestamps >= lo) & (timestamps <= hi)
         if fields is not None:
             fields = fields[keep]

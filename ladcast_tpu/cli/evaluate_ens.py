@@ -126,10 +126,8 @@ def filter_latent_files(files, start_date=None, end_date=None,
     before end_date, evaluate_ens_gpu.py:213-215)."""
     if not (start_date or end_date):
         return files
-    lo = time_utils.date_str_to_int(start_date) if start_date else 0
-    hi = (time_utils.add_hours_int(time_utils.date_str_to_int(end_date),
-                                   -(total_lead_time_hour or 0))
-          if end_date else 9_999_999_999)
+    lo, hi = time_utils.date_bounds(start_date, end_date,
+                                    total_lead_time_hour or 0)
     return [f for f in files if lo <= int(
         os.path.basename(f).split("_")[-1].split(".")[0]) <= hi]
 

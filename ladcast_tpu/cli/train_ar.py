@@ -129,15 +129,18 @@ def main(argv=None):
                          "default) or 'data=1,model=8' (Megatron-TP over "
                          "'model' for the 1.6B); overrides the yaml "
                          "parallel.mesh mapping")
-    ap.add_argument("--zero", action="store_true", default=None,
+    ap.add_argument("--zero", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="ZeRO-shard replicated optimizer/EMA mirrors "
                          "over all mesh axes (default: on whenever the "
-                         "mesh has a model axis; yaml parallel.zero)")
-    ap.add_argument("--remat", action="store_true", default=None,
+                         "mesh has a model axis; --no-zero disables; "
+                         "yaml parallel.zero)")
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="per-block gradient checkpointing (the "
                          "reference's gradient_checkpointing; needed for "
-                         "the 1.6B activation footprint); yaml "
-                         "general.remat")
+                         "the 1.6B activation footprint); --no-remat "
+                         "overrides a yaml general.remat: true")
     ap.add_argument("--snr_gamma", type=float, default=None,
                     help="min-SNR-gamma loss weighting (reference "
                          "general_config.snr_gamma, train_AR.py:1014-1064)"
@@ -271,14 +274,22 @@ def main(argv=None):
         # fresh optimizer and step 0. Each leaf is placed with the live
         # state's sharding, so TP/ZeRO runs never gather the full tree.
         from ladcast_tpu.cli.pred_rollout import _load_any_params
-        wparams, _ = _load_any_params(args.init_weights, "dit", model_cfg)
-        wparams = jax.tree.map(
-            lambda tgt, w: jax.device_put(
-                jnp.asarray(w, tgt.dtype), tgt.sharding),
-            state.params, wparams)
-        state = state._replace(params=wparams)
+        raw, _ = _load_any_params(args.init_weights, "dit", model_cfg)
+
+        def _place(target_tree):
+            # each leaf takes ITS OWN target sharding: under ZeRO the
+            # EMA mirror of a replicated param is largest-dim sharded,
+            # so placing EMA with the params' shardings would make jit
+            # reject the committed args at the first step
+            return jax.tree.map(
+                lambda tgt, w: jax.device_put(
+                    jnp.asarray(w, tgt.dtype), tgt.sharding),
+                target_tree, raw)
+
+        state = state._replace(params=_place(state.params))
         if state.ema is not None:
-            state = state._replace(ema=state.ema._replace(params=wparams))
+            state = state._replace(
+                ema=state.ema._replace(params=_place(state.ema.params)))
 
     step_fn = jax.jit(train_step,
                       in_shardings=(state_sh, (bsh, bsh, bsh), repl),

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import calendar
 from datetime import datetime, timedelta
-from typing import Iterable, List, Sequence
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -77,15 +77,35 @@ def filter_eval_timestamps(
     out: List[int] = []
     for year in years:
         for month in range(1, 13):
-            _, last_day = calendar.monthrange(year, month)
-            days = np.linspace(1, last_day, num_samples_per_month,
-                               endpoint=False)
-            days = np.round(days).astype(int)
-            days[0] = 1
-            for day in days:
+            for day in _sample_month_days(year, month,
+                                          num_samples_per_month):
                 for hour in hours:
                     out.append(datetime_to_int(datetime(year, month, int(day), hour)))
     return sorted(out)
+
+
+def date_bounds(start_date: Optional[str], end_date: Optional[str],
+                lead_hours: int = 0) -> Tuple[int, int]:
+    """(lo, hi) YYYYMMDDHH bounds from optional date strings; ``hi`` is
+    shifted back by ``lead_hours`` so a forecast started at ``hi`` still
+    verifies inside the range (the reference's end - total_lead rule,
+    evaluate_ens_gpu.py:213-215). Missing bounds are wide open."""
+    lo = date_str_to_int(start_date) if start_date else 0
+    hi = (add_hours_int(date_str_to_int(end_date), -lead_hours)
+          if end_date else 9_999_999_999)
+    return lo, hi
+
+
+def _sample_month_days(year: int, month: int,
+                       num_samples_per_month: int) -> np.ndarray:
+    """The reference's per-month day selection (dataloader/utils.py:
+    558-562): linspace over [1, last_day) (endpoint excluded), rounded,
+    first day forced to 1."""
+    _, last_day = calendar.monthrange(year, month)
+    days = np.linspace(1, last_day, num_samples_per_month, endpoint=False)
+    days = np.round(days).astype(int)
+    days[0] = 1
+    return days
 
 
 def date_str_to_int(s: str) -> int:
@@ -122,12 +142,7 @@ def filter_eval_timestamps_range(
     out: List[int] = []
     year, month = sd.year, sd.month
     while (year, month) <= (ed.year, ed.month):
-        _, last_day = calendar.monthrange(year, month)
-        days = np.linspace(1, last_day, num_samples_per_month,
-                           endpoint=False)
-        days = np.round(days).astype(int)
-        days[0] = 1
-        for day in days:
+        for day in _sample_month_days(year, month, num_samples_per_month):
             for hour in hours:
                 ts = datetime_to_int(datetime(year, month, int(day), hour))
                 if ts <= end:

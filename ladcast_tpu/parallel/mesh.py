@@ -53,6 +53,10 @@ def make_mesh_from_spec(spec, devices: Optional[Sequence[jax.Device]] = None
         pairs = [(str(k), int(v)) for k, v in spec.items()]
     if not pairs:
         raise ValueError("empty mesh spec")
+    bad = [(k, s) for k, s in pairs if s != -1 and s <= 0]
+    if bad:
+        raise ValueError(f"mesh axis sizes must be -1 or positive, got "
+                         f"{bad} in {pairs}")
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     fills = [i for i, (_, s) in enumerate(pairs) if s == -1]

@@ -138,7 +138,14 @@ def train_state_sharding(state, mesh: Mesh, spec_fn=dit_param_spec,
                          zero_mirrors: bool = True):
     """Full TrainState sharding pytree: params via the TP rules, optimizer
     state and EMA via suffix matching (+ ZeRO sharding of replicated
-    mirrors when ``zero_mirrors``), step replicated."""
+    mirrors when ``zero_mirrors``), step replicated.
+
+    On a mesh WITHOUT a 'model' axis (pure-ZeRO over DP, e.g.
+    ``train_ar --zero`` on the default 1-D data mesh) the TP rules are
+    inapplicable -- NamedSharding would reject their 'model' specs -- so
+    params stay replicated and only the optimizer/EMA mirrors shard."""
+    if "model" not in mesh.axis_names and spec_fn is dit_param_spec:
+        spec_fn = lambda path, leaf: P()  # noqa: E731
     repl = NamedSharding(mesh, P())
     psh = jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, spec_fn(path, leaf)),

@@ -138,3 +138,12 @@ def test_partial_doy_rejected_by_default_accepted_with_flag():
     # full-year products are unaffected by the flag
     full, _ = wb2_climatology_to_arrays(FakeDataset(), allow_partial_doy=True)
     assert full.shape[0] == 366
+
+
+def test_partial_doy_must_be_contiguous_from_day_one():
+    """A June-only subset (doy 152..181) would pack at row 0 while the
+    scorer indexes clim[tm_yday-1] -- must be rejected at conversion."""
+    ds = FakeDataset(n_doy=2)
+    ds._v["dayofyear"] = FakeArray(("dayofyear",), np.asarray([152, 153]))
+    with pytest.raises(ValueError, match="contiguous"):
+        wb2_climatology_to_arrays(ds, allow_partial_doy=True)
