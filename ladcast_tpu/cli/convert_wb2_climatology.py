@@ -78,6 +78,16 @@ def wb2_climatology_to_arrays(
         raise ValueError(f"dayofyear has length {len(doy)}, expected "
                          "365/366 (WB2 layout); pass --allow_partial_doy "
                          "for a deliberate partial-year product")
+    partial = allow_partial_doy and len(doy) not in (365, 366)
+    if partial and not np.array_equal(doy, np.arange(1, len(doy) + 1)):
+        # checked BEFORE the (expensive) 84-channel extraction: the
+        # scorer indexes clim[tm_yday-1], so a partial product must be
+        # anchored at Jan 1 and contiguous, or every lookup lands on the
+        # wrong row (a June-only subset would pack day 152 at row 0)
+        raise ValueError(
+            "partial climatology must cover days 1..N contiguously "
+            f"(dayofyear starts at {doy[0]}); the scorer indexes "
+            "clim[tm_yday-1]")
 
     probe = ds[ch.ATM_VARIABLES[0]]
     lat_name = _dim_name(probe.dims, ("latitude", "lat"), "latitude")
@@ -119,17 +129,10 @@ def wb2_climatology_to_arrays(
     for var in ch.SURFACE_VARIABLES:
         cols.append(extract(var, None))
     clim = np.stack(cols, axis=-1).astype(np.float32)
-    if allow_partial_doy and len(doy) not in (365, 366):
-        # the scorer indexes clim[tm_yday-1]: a partial product must be
-        # anchored at Jan 1 and contiguous, or every lookup lands on the
-        # wrong row (a June-only subset would pack day 152 at row 0)
-        if not np.array_equal(doy, np.arange(1, len(doy) + 1)):
-            raise ValueError(
-                "partial climatology must cover days 1..N contiguously "
-                f"(dayofyear starts at {doy[0]}); the scorer indexes "
-                "clim[tm_yday-1]")
+    if partial:
         # no Feb-29 handling (leap-year valid times past Feb would
-        # misindex by one day -- documented limit)
+        # misindex by one day -- documented limit); contiguity was
+        # validated up front, before extraction
         return clim, np.asarray(hours, np.int64)
     if len(doy) == 365:
         # WB2 proper carries 366 rows; a 365-day product must grow a

@@ -38,6 +38,30 @@ def main(argv=None):
     from ladcast_tpu.cli.pred_rollout import _load_any_params, \
         open_field_source
 
+    # open the source and resolve the timestamp range BEFORE the (slow)
+    # checkpoint load so usage errors fail fast.
+    # npz bundle / zarr store / monthly-tar dir (tar reads go through the
+    # native member reader when available)
+    src, timestamps = open_field_source(args.data)
+    fields = getattr(src, "fields", None) \
+        if args.data.endswith(".npz") else None  # npz is in-RAM already
+    timestamps = np.asarray(timestamps, np.int64)
+    if args.start_date or args.end_date:
+        from ladcast_tpu.data import time_utils
+        lo, hi = time_utils.date_bounds(args.start_date, args.end_date)
+        keep = (timestamps >= lo) & (timestamps <= hi)
+        if fields is not None:
+            fields = fields[keep]
+        timestamps = timestamps[keep]
+        if len(timestamps) == 0:
+            raise SystemExit(
+                f"no timestamps in range [{lo}, {hi}] -- the source "
+                "covers none of --start_date/--end_date")
+
+    n = len(timestamps)
+    if n == 0:
+        raise SystemExit("source contains no timestamps to encode")
+
     params, cfg = _load_any_params(args.dcae_params, "dcae", DCAEConfig())
     dcae = AutoencoderDC(cfg)
     static = jnp.asarray(static_data.static_conditioning_tensor(layout="HWC"))
@@ -53,22 +77,7 @@ def main(argv=None):
         # params explicit: captured trees overflow remote compile requests
         return _encode(params, batch)
 
-    # npz bundle / zarr store / monthly-tar dir (tar reads go through the
-    # native member reader when available)
-    src, timestamps = open_field_source(args.data)
-    fields = getattr(src, "fields", None) \
-        if args.data.endswith(".npz") else None  # npz is in-RAM already
-    timestamps = np.asarray(timestamps, np.int64)
-    if args.start_date or args.end_date:
-        from ladcast_tpu.data import time_utils
-        lo, hi = time_utils.date_bounds(args.start_date, args.end_date)
-        keep = (timestamps >= lo) & (timestamps <= hi)
-        if fields is not None:
-            fields = fields[keep]
-        timestamps = timestamps[keep]
-
     lats = []
-    n = len(timestamps)
     for s in range(0, n, args.batch_size):
         ts_chunk = timestamps[s:s + args.batch_size]
         if fields is not None:

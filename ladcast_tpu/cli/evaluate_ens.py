@@ -119,6 +119,28 @@ def merge_rank_shards(output_dir, keys, n_ranks):
     return merged
 
 
+def init_time_from_filename(path):
+    """YYYYMMDDHH init time from the ``latent_{ts}.npy`` convention that
+    cli/pred_rollout.py writes (single definition shared by the date
+    filter and the scoring loop)."""
+    return int(os.path.basename(path).split("_")[-1].split(".")[0])
+
+
+def derive_lead_budget(files, crop_init, step_size_hour,
+                       total_lead_time_hour=None):
+    """The lead-time budget ``--end_date`` must reserve. When
+    --total_lead_time_hour is not given, derive it from the artifacts
+    themselves (mmap reads only the npy header) so ``--end_date`` alone
+    still enforces the reference rule init <= end - total_lead
+    (evaluate_ens_gpu.py:213-215). Files hold (E, C, T[+1], h, w) with a
+    leading init frame unless --no_crop_init."""
+    if total_lead_time_hour is not None or not files:
+        return total_lead_time_hour
+    shape = np.load(files[0], mmap_mode="r").shape
+    n_lead = shape[2] - 1 if crop_init else shape[2]
+    return n_lead * step_size_hour
+
+
 def filter_latent_files(files, start_date=None, end_date=None,
                         total_lead_time_hour=None):
     """Restrict latent_*.npy files to init times in [start, end - lead]
@@ -128,8 +150,7 @@ def filter_latent_files(files, start_date=None, end_date=None,
         return files
     lo, hi = time_utils.date_bounds(start_date, end_date,
                                     total_lead_time_hour or 0)
-    return [f for f in files if lo <= int(
-        os.path.basename(f).split("_")[-1].split(".")[0]) <= hi]
+    return [f for f in files if lo <= init_time_from_filename(f) <= hi]
 
 
 def main(argv=None):
@@ -202,14 +223,18 @@ def main(argv=None):
 
     lat_w = jnp.asarray(grid_lat_weights("cos"), jnp.float32)
     files = sorted(glob.glob(os.path.join(args.latent_dir, "latent_*.npy")))
+    lead_budget = (derive_lead_budget(files, args.crop_init,
+                                      args.step_size_hour,
+                                      args.total_lead_time_hour)
+                   if args.end_date else args.total_lead_time_hour)
     files = filter_latent_files(files, args.start_date, args.end_date,
-                                args.total_lead_time_hour)
+                                lead_budget)
     files = files[jax.process_index()::jax.process_count()]
 
     score_fn = None
     acc_metrics = []
     for f in files:
-        ts = int(os.path.basename(f).split("_")[-1].split(".")[0])
+        ts = init_time_from_filename(f)
         # (E, C, T+1, h, w) reference layout, PHYSICAL latent scale
         # (see make_score_fn docstring)
         arr = np.load(f)

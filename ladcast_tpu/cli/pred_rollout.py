@@ -153,6 +153,9 @@ def main(argv=None):
     ap.add_argument("--decode", dest="save_as_latent", action="store_false")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    # validate flag pairing before the (slow) checkpoint loads
+    if (args.start_date is None) != (args.end_date is None):
+        ap.error("--start_date and --end_date must be given together")
 
     rcfg = RolloutConfig(
         ensemble_size=args.ensemble_size,
@@ -183,8 +186,6 @@ def main(argv=None):
     source = (NpzFieldSource(args.data) if args.data.endswith(".npz")
               else ZarrFieldSource(args.data))
 
-    if (args.start_date is None) != (args.end_date is None):
-        ap.error("--start_date and --end_date must be given together")
     if args.start_date:
         init_times = time_utils.filter_eval_timestamps_range(
             time_utils.date_str_to_int(args.start_date),

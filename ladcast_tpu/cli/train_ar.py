@@ -255,8 +255,12 @@ def main(argv=None):
         state_sh = train_state_sharding(abstract, mesh, zero_mirrors=zero)
     else:
         state_sh = repl  # pytree-prefix: fully replicated (DDP regime)
+    # the example batch must go through make_global_batch like every
+    # training batch: on multi-process runs each host holds only its
+    # local slice and a plain device_put over a cross-host sharding
+    # would mistake it for the global array
     state = jax.jit(init_fn, out_shardings=state_sh)(
-        jax.random.PRNGKey(args.seed), jax.device_put(example, bsh))
+        jax.random.PRNGKey(args.seed), dist.make_global_batch(example, bsh))
     mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"),
                             max_to_keep=gen_cfg.get("checkpoints_total_limit", 3))
     start_step = 0
@@ -443,21 +447,28 @@ def main(argv=None):
                 # it serializes each shard without gathering the full
                 # state onto one host/device
                 ckpt.save_state(mgr, step, state)
-                if args.hub_export and dist.process_index() == 0:
+                if args.hub_export:
                     # diffusers-layout export (the reference's training
                     # hooks write ar_model/ + ar_model_ema/ the same way,
                     # train_AR.py:559-613) -- shippable to reference/
                     # diffusers users and loadable by every CLI here.
+                    # fetch_full_tree is collective (TP/ZeRO shards span
+                    # hosts), so gather on EVERY process, then rank 0
+                    # writes.
                     from ladcast_tpu.models import hub
 
+                    full_params = dist.fetch_full_tree(state.params)
+                    full_ema = (dist.fetch_full_tree(state.ema.params)
+                                if state.ema is not None else None)
+                if args.hub_export and dist.process_index() == 0:
                     hdir = os.path.join(out_dir, "hub")
                     hub.save_pretrained(
                         os.path.join(hdir, "ar_model"), "dit", model_cfg,
-                        jax.device_get(state.params))
-                    if state.ema is not None:
+                        full_params)
+                    if full_ema is not None:
                         hub.save_pretrained(
                             os.path.join(hdir, "ar_model_ema"), "dit",
-                            model_cfg, jax.device_get(state.ema.params),
+                            model_cfg, full_ema,
                             ema_metadata={
                                 "decay": tcfg.ema_max_decay,
                                 "power": tcfg.ema_power,

@@ -59,6 +59,20 @@ def all_gather_arrays(x: np.ndarray, axis: int = 0) -> np.ndarray:
     return np.moveaxis(gathered, 0, axis)
 
 
+def fetch_full_tree(tree):
+    """Fetch a pytree of (possibly cross-host sharded) jax.Arrays to host
+    numpy on EVERY process. On multi-process runs a plain
+    ``jax.device_get`` of a TP/ZeRO-sharded array raises (it spans
+    non-addressable devices), and the gather is a collective -- so this
+    must be called by all processes, OUTSIDE any rank guard.
+    Single-process: plain device_get."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True), tree)
+
+
 def host_local_slice(global_batch_size: int) -> slice:
     """The contiguous slice of a deterministic global batch order that this
     process is responsible for reading (every process computes the same

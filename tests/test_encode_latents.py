@@ -57,3 +57,19 @@ def test_encode_latents_cli_with_date_range(tmp_path):
     z = dcae.apply(cp, jnp.asarray(x), static, method=AutoencoderDC.encode)
     np.testing.assert_allclose(d["latents"][0], np.asarray(z)[0],
                                rtol=2e-5, atol=1e-4)
+
+
+def test_empty_date_range_is_a_clear_error(tmp_path):
+    """A range matching zero timestamps exits with a message instead of
+    an opaque np.concatenate crash."""
+    from ladcast_tpu.cli import encode_latents
+
+    src = tmp_path / "era5.npz"
+    np.savez(src,
+             fields=np.zeros((2, 120, 240, 84), np.float32),
+             timestamps=np.asarray([2018010100, 2018010106], np.int64))
+    with pytest.raises(SystemExit, match="no timestamps in range"):
+        encode_latents.main([
+            "--data", os.fspath(src), "--dcae_params", "unused",
+            "--output", os.fspath(tmp_path / "out.npz"),
+            "--start_date", "2019-01-01", "--end_date", "2019-12-31"])

@@ -137,3 +137,20 @@ def test_filter_latent_files():
     got = filter_latent_files(files, start_date="2018-06-01",
                               end_date="2018-12-31T12")
     assert got == files[1:]
+
+
+def test_derive_lead_budget_from_artifacts(tmp_path):
+    """--end_date without --total_lead_time_hour reserves the horizon
+    implied by the latent files themselves (init <= end - T*step,
+    evaluate_ens_gpu.py:213-215) instead of silently reserving zero."""
+    from ladcast_tpu.cli.evaluate_ens import derive_lead_budget
+
+    f = tmp_path / "latent_2018010100.npy"
+    np.save(f, np.zeros((2, 4, 5, 3, 3), np.float32))  # T+1 = 5 frames
+    # explicit flag wins; empty file list passes through
+    assert derive_lead_budget([str(f)], True, 6, 240) == 240
+    assert derive_lead_budget([], True, 6, None) is None
+    # crop_init (default): 4 lead frames * 6 h
+    assert derive_lead_budget([str(f)], True, 6) == 24
+    # --no_crop_init files carry no init frame: all 5 frames are leads
+    assert derive_lead_budget([str(f)], False, 6) == 30
