@@ -105,6 +105,18 @@ def main():
     # host-side aggregation path: every process contributes one row
     row = np.asarray([[jax.process_index(), losses[-1]]], np.float64)
     gathered = dist.all_gather_arrays(row)
+
+    # cross-host sharded fetch (the --hub_export gather path): a 'data'-
+    # sharded array spans both hosts; fetch_full_tree must reassemble the
+    # identical global value on EVERY process (plain device_get raises on
+    # non-addressable shards)
+    nrows = len(devices)
+    garr = np.arange(nrows * 3, dtype=np.float32).reshape(nrows, 3)
+    local_rows = garr[dist.host_local_slice(nrows)]
+    sharded = dist.make_global_batch({"w": local_rows}, bsh)
+    fetched = dist.fetch_full_tree(sharded)
+    assert np.array_equal(np.asarray(fetched["w"]), garr), fetched["w"]
+
     dist.barrier("worker-done")
 
     if jax.process_index() == 0:
