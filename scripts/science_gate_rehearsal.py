@@ -146,13 +146,18 @@ def evaluate(args):
                          total_lead_time_hour=args.total_lead_time_hour)
     n_lead = rcfg.total_num_steps
     base_cfg = ladcast_375m_config()
-    dit_params, base_cfg = _load_any_params(args.ckpt, "dit", base_cfg)
+    dit_params, base_cfg = _load_any_params(args.ckpt, "dit", base_cfg,
+                                            subfolder=args.subfolder)
 
     variants = {
         "exact": (base_cfg, rcfg),
         "int8": (dataclasses.replace(base_cfg, int8_matmuls=True), rcfg),
         "skip2": (base_cfg,
                   dataclasses.replace(rcfg, correction_skip_period=2)),
+        # compound point: both approximations at once (they compose in
+        # production via --correction_skip_period + LADCAST_INT8)
+        "int8_skip2": (dataclasses.replace(base_cfg, int8_matmuls=True),
+                       dataclasses.replace(rcfg, correction_skip_period=2)),
     }
     wanted = args.variants.split(",")
 
@@ -241,6 +246,9 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="hub dir / orbax dir / safetensors of the "
                          "trained 375M (train CLI --hub_export output)")
+    ap.add_argument("--subfolder", default=None,
+                    help="hub subfolder override (e.g. ar_model to score "
+                         "the raw weights; default prefers ar_model_ema)")
     ap.add_argument("--variants", default="exact,int8,skip2")
     ap.add_argument("--ensemble_size", type=int, default=20)
     ap.add_argument("--total_lead_time_hour", type=int, default=240)
