@@ -22,6 +22,8 @@ vs_baseline = target_this_host / measured (>1 == beating the target).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -30,7 +32,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def wait_for_backend(budget_s: float = 2700.0, probe_timeout_s: float = 180.0,
+                     sleep_s: float = 120.0) -> None:
+    """Block until the accelerator backend answers a trivial computation.
+
+    The axon-attached TPU backend goes UNAVAILABLE for an hour+ at a time
+    (CLAUDE.md), and the failure mode is a HANG (or an Unavailable raise)
+    at the first device computation — so the probe runs in a killable
+    subprocess. On CPU or a healthy TPU the first probe returns in
+    seconds and this is a no-op. Disable with LADCAST_BENCH_NO_WAIT=1.
+    """
+    if os.environ.get("LADCAST_BENCH_NO_WAIT"):
+        return
+    probe = ("import jax; "
+             "print(float(jax.numpy.zeros(4).sum()))")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend answered on probe {attempt}",
+                          flush=True)
+                return
+            err = (r.stderr or "").strip().splitlines()
+            err = err[-1] if err else "nonzero exit"
+        except subprocess.TimeoutExpired:
+            err = f"probe hung >{probe_timeout_s:.0f}s"
+        if time.monotonic() >= deadline:
+            print(f"# backend still unavailable after {budget_s:.0f}s "
+                  f"({attempt} probes; last: {err}) — proceeding anyway",
+                  flush=True)
+            return
+        print(f"# backend probe {attempt} failed ({err}); retrying in "
+              f"{sleep_s:.0f}s", flush=True)
+        time.sleep(sleep_s)
+
+
 def main():
+    wait_for_backend()
     from ladcast_tpu.config import (
         DCAEConfig,
         EDMSchedulerConfig,
