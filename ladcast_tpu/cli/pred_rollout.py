@@ -149,6 +149,13 @@ def main(argv=None):
                          "int8 DiT matmuls on the int8 MXU path "
                          "(ops/quant.py); validate skill before "
                          "production use")
+    ap.add_argument("--shard_ensemble", action="store_true",
+                    help="shard ensemble members (and decode frames) over "
+                         "all local devices via a 1-D 'ens' mesh — the "
+                         "single-host pod deployment mode; results are "
+                         "identical to single-device (member PRNG is "
+                         "index-folded). Multi-HOST work split stays the "
+                         "process-strided init-time sharding")
     ap.add_argument("--save_as_latent", action="store_true", default=True)
     ap.add_argument("--decode", dest="save_as_latent", action="store_false")
     ap.add_argument("--seed", type=int, default=0)
@@ -180,8 +187,20 @@ def main(argv=None):
         import dataclasses as _dc
         dit_cfg = _dc.replace(dit_cfg, int8_matmuls=True)
 
+    ens_mesh = None
+    if args.shard_ensemble:
+        from ladcast_tpu.parallel.mesh import make_mesh
+
+        ens_mesh = make_mesh("ens", jax.local_devices())
+        n_dev = len(ens_mesh.devices.ravel())
+        if args.ensemble_size % n_dev:
+            print(f"# note: ensemble_size {args.ensemble_size} is not a "
+                  f"multiple of {n_dev} devices; the pipeline pads the "
+                  f"member axis and discards the extras (correct, "
+                  f"slightly unbalanced)", flush=True)
+
     pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
-                            dit_params, dcae_params)
+                            dit_params, dcae_params, ens_mesh=ens_mesh)
 
     source = (NpzFieldSource(args.data) if args.data.endswith(".npz")
               else ZarrFieldSource(args.data))

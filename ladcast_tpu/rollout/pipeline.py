@@ -15,9 +15,11 @@ normalization constants are closed over.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ladcast_tpu import static_data
 from ladcast_tpu.config import (
@@ -51,6 +53,14 @@ class ForecastPipeline:
     ``compute_dtype``: activation/param dtype for the network forward
     passes (bfloat16 on TPU by default); the EDM trajectory math stays in
     ``rollout_cfg.trajectory_dtype`` (fp32).
+
+    ``ens_mesh``: optional 1-D device mesh. When set, ensemble members
+    (and decode frames) are sharded over its single axis and parameters
+    are replicated — the SPMD deployment mode on a pod slice, where the
+    member forwards are embarrassingly parallel over ICI (SURVEY §2.2).
+    The member PRNG is folded per member index (not per device), so the
+    random draws are mesh-independent; outputs match the unsharded run
+    up to XLA fusion/reduction-order reassociation (~1e-4 relative).
     """
 
     dit_cfg: LaDCastDiTConfig
@@ -60,6 +70,7 @@ class ForecastPipeline:
     dit_params: dict
     dcae_params: dict
     compute_dtype: str = "bfloat16"
+    ens_mesh: Optional[Mesh] = None
 
     def __post_init__(self):
         self.dit = LaDCastTransformer3D(self.dit_cfg)
@@ -77,6 +88,12 @@ class ForecastPipeline:
             self.dit_params = cast_pytree(self.dit_params, cdt)
             self.dcae_params = cast_pytree(self.dcae_params, cdt)
         self._cdt = cdt
+        if self.ens_mesh is not None:
+            # commit params replicated ONCE (a per-call implicit reshard
+            # would re-broadcast them on every init time)
+            repl = NamedSharding(self.ens_mesh, P())
+            self.dit_params = jax.device_put(self.dit_params, repl)
+            self.dcae_params = jax.device_put(self.dcae_params, repl)
         self._build_jits()
 
     def _build_jits(self):
@@ -92,6 +109,10 @@ class ForecastPipeline:
                            method=AutoencoderDC.encode)
             return z.astype(jnp.float32)
 
+        mesh, ens_ax = self.ens_mesh, None
+        if mesh is not None:
+            (ens_ax,) = mesh.axis_names
+
         def decode_chunked(dcae_params, z_phys, chunk):
             n, h, w, C = z_phys.shape
             pad = (-n) % chunk
@@ -99,6 +120,12 @@ class ForecastPipeline:
                 z_phys = jnp.concatenate(
                     [z_phys, jnp.zeros((pad, h, w, C), z_phys.dtype)])
             zc = z_phys.reshape(-1, chunk, h, w, C)
+            if mesh is not None:
+                # lax.map steps sequentially over chunks; shard each
+                # chunk's frames over the mesh so every step decodes in
+                # parallel on all devices
+                zc = jax.lax.with_sharding_constraint(
+                    zc, NamedSharding(mesh, P(None, ens_ax)))
             dec = jax.lax.map(
                 lambda z: dcae.apply(dcae_params, z.astype(cdt),
                                      method=AutoencoderDC.decode), zc)
@@ -128,9 +155,27 @@ class ForecastPipeline:
                 net_fn, known_latents_norm, year_progress, key,
                 sched_cfg, rcfg, latent_std=latent_std)
 
-        self._encode_jit = jax.jit(encode)
-        self._decode_jit = jax.jit(decode_latents, static_argnums=2)
-        self._forecast_jit = jax.jit(forecast)
+        self._ens_sharding = None
+        self._n_ens_dev = 1
+        if mesh is None:
+            self._encode_jit = jax.jit(encode)
+            self._decode_jit = jax.jit(decode_latents, static_argnums=2)
+            self._forecast_jit = jax.jit(forecast)
+        else:
+            repl = NamedSharding(mesh, P())
+            ens = NamedSharding(mesh, P(ens_ax))
+            self._ens_sharding = ens
+            self._n_ens_dev = mesh.devices.size
+            # encode sees T_in (1-2) frames — replicated, not worth
+            # splitting; forecast/decode shard members/frames on axis 0
+            self._encode_jit = jax.jit(encode, in_shardings=(repl, repl),
+                                       out_shardings=repl)
+            self._decode_jit = jax.jit(decode_latents, static_argnums=2,
+                                       in_shardings=(repl, ens),
+                                       out_shardings=ens)
+            self._forecast_jit = jax.jit(
+                forecast, in_shardings=(repl, ens, repl, repl),
+                out_shardings=ens)
 
     # -- latent-space helpers ------------------------------------------------
 
@@ -150,6 +195,22 @@ class ForecastPipeline:
         latents (static channels concatenated inside, DCAE.py:988-989)."""
         return self._encode_jit(self.dcae_params, fields)
 
+    def _pad_members(self, x):
+        """Pad axis 0 (members/frames) to a multiple of the mesh size —
+        explicit in/out shardings require divisibility (XLA does not pad
+        committed arrays). Padded rows repeat member 0 and are sliced
+        off by the caller; each member's math depends only on its own
+        index-folded key, so padding cannot perturb the real members.
+        Returns (x_padded_and_committed, pad)."""
+        pad = (-x.shape[0]) % self._n_ens_dev
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad, *x.shape[1:]))])
+        # inputs committed elsewhere (e.g. the replicated encode output)
+        # must be re-laid-out explicitly: jit with explicit in_shardings
+        # refuses implicit resharding of committed args
+        return jax.device_put(x, self._ens_sharding), pad
+
     def decode_latents(self, latents_norm, chunk: int = 40):
         """(E, T, 15, 30, 84) normalized latents -> (E, T, H, W, 84)
         PHYSICAL fields (field z-scoring undone, matching the reference
@@ -157,11 +218,22 @@ class ForecastPipeline:
         through the decoder in chunks to bound decoder activation memory
         (the reference decodes member-by-member in a host loop,
         pipelines/utils.py:209-229)."""
+        if self._ens_sharding is not None:
+            E = latents_norm.shape[0]
+            latents_norm, pad = self._pad_members(latents_norm)
+            dec = self._decode_jit(self.dcae_params, latents_norm, chunk)
+            return dec[:E] if pad else dec
         return self._decode_jit(self.dcae_params, latents_norm, chunk)
 
     def forecast_latents(self, known_latents_norm, year_progress, key):
         """(E, T_in, 15, 30, 84) normalized conditioning latents ->
         (E, total_steps, 15, 30, 84) normalized forecast latents."""
+        if self._ens_sharding is not None:
+            E = known_latents_norm.shape[0]
+            known_latents_norm, pad = self._pad_members(known_latents_norm)
+            traj = self._forecast_jit(self.dit_params, known_latents_norm,
+                                      year_progress, key)
+            return traj[:E] if pad else traj
         return self._forecast_jit(self.dit_params, known_latents_norm,
                                   year_progress, key)
 

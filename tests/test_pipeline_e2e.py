@@ -56,9 +56,10 @@ def test_hostloop_matches_scanned_engine():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_forecast_pipeline_tiny(monkeypatch):
-    """Full ForecastPipeline with tiny models; normalization constants
-    monkeypatched to tiny channel counts."""
+def _tiny_pipeline_fixture(monkeypatch, ensemble_size=2):
+    """Tiny DCAE+DiT configs/params + monkeypatched normalization
+    constants for ForecastPipeline tests. Returns (pl_mod, args, fields)
+    where args are the ForecastPipeline positional args."""
     from ladcast_tpu.rollout import pipeline as pl_mod
     from tests.test_dcae import TINY as TINY_DCAE
 
@@ -83,7 +84,7 @@ def test_forecast_pipeline_tiny(monkeypatch):
         TINY_DCAE, latent_channels=6,
         encoder_block_out_channels=(6, 12, 24, 48),
         decoder_block_out_channels=(6, 12, 24, 48))
-    rcfg = RolloutConfig(ensemble_size=2, num_inference_steps=2,
+    rcfg = RolloutConfig(ensemble_size=ensemble_size, num_inference_steps=2,
                          return_seq_len=2, input_seq_len=1,
                          total_lead_time_hour=12, step_size_hour=6)
 
@@ -97,13 +98,69 @@ def test_forecast_pipeline_tiny(monkeypatch):
     dit_params = dit.init(jax.random.PRNGKey(1),
                           jnp.zeros((1, 2, 2, 4, 6)), jnp.zeros((1,)),
                           jnp.zeros((1, 1, 2, 4, 6)), jnp.zeros((1,)))
+    return pl_mod, (TINY, dcae_cfg, SCHED, rcfg, dit_params, dcae_params), \
+        fields
 
-    pipe = pl_mod.ForecastPipeline(TINY, dcae_cfg, SCHED, rcfg,
-                                   dit_params, dcae_params,
-                                   compute_dtype="float32")
+
+def test_forecast_pipeline_tiny(monkeypatch):
+    """Full ForecastPipeline with tiny models; normalization constants
+    monkeypatched to tiny channel counts."""
+    pl_mod, args, fields = _tiny_pipeline_fixture(monkeypatch)
+
+    pipe = pl_mod.ForecastPipeline(*args, compute_dtype="float32")
     traj, decoded, z_analysis = pipe.forecast_from_fields(
         fields, 2018070100, jax.random.PRNGKey(2))
     assert traj.shape == (2, 2, 2, 4, 6)
     assert z_analysis.shape == (1, 2, 4, 6)
-    assert decoded.shape == (2, 2, 16, 32, C_dyn)
+    assert decoded.shape == (2, 2, 16, 32, 8)
     assert np.isfinite(np.asarray(decoded)).all()
+
+
+def test_forecast_pipeline_ens_mesh_matches_single_device(monkeypatch):
+    """ForecastPipeline(ens_mesh=...) shards members/decode frames over
+    the 8-device mesh and reproduces the unsharded results up to fp32
+    reassociation (the member PRNG is index-folded so the random draws
+    are identical; GSPMD partitioning changes XLA fusion/reduction
+    order, so ~1e-4 relative drift over a 2-step AR chain is expected)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ladcast_tpu.parallel.mesh import make_mesh
+
+    pl_mod, args, fields = _tiny_pipeline_fixture(monkeypatch,
+                                                  ensemble_size=8)
+    ref_pipe = pl_mod.ForecastPipeline(*args, compute_dtype="float32")
+    ref_traj, ref_dec, ref_z = ref_pipe.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
+
+    pipe = pl_mod.ForecastPipeline(*args, compute_dtype="float32",
+                                   ens_mesh=make_mesh("ens"))
+    traj, decoded, z = pipe.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
+    assert traj.sharding.spec == P("ens")
+    assert decoded.sharding.spec == P("ens")
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(decoded), np.asarray(ref_dec),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(ref_z))
+
+
+def test_forecast_pipeline_ens_mesh_uneven(monkeypatch):
+    """Ensemble size not divisible by the mesh (20-member protocol on 8
+    chips): the pipeline pads the member axis to a mesh multiple and
+    slices the extras off; results still match the unsharded run."""
+    pl_mod, args, fields = _tiny_pipeline_fixture(monkeypatch,
+                                                  ensemble_size=3)
+    from ladcast_tpu.parallel.mesh import make_mesh
+
+    ref = pl_mod.ForecastPipeline(*args, compute_dtype="float32")
+    r_traj, r_dec, _ = ref.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
+    pipe = pl_mod.ForecastPipeline(*args, compute_dtype="float32",
+                                   ens_mesh=make_mesh("ens"))
+    traj, dec, _ = pipe.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(r_traj),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(r_dec),
+                               rtol=2e-4, atol=2e-4)
