@@ -32,7 +32,7 @@ from ladcast_tpu.models.dcae import AutoencoderDC
 
 
 def make_score_fn(dcae, dcae_params, lat_w, field_stats=None,
-                  diagnostics=False):
+                  diagnostics=False, ens_mesh=None):
     """Jitted per-init-time scorer: latents + truth -> per-(C, T) metrics.
 
     ``latents`` arrive in PHYSICAL latent scale -- the scale the
@@ -42,20 +42,37 @@ def make_score_fn(dcae, dcae_params, lat_w, field_stats=None,
     directly (evaluate_ens_gpu.py:300-304). Decoded fields are
     unnormalized with ``field_stats`` so all metrics are in physical
     units against physical truth, as in the reference loop.
+
+    ``ens_mesh``: optional 1-D device mesh; members are sharded over its
+    axis through the decode (the scorer's FLOPs) via sharding
+    constraints. GSPMD pads uneven member counts internally, so metrics
+    are unchanged; the metric reductions over members lower to
+    collectives.
     """
     if field_stats is None:
         field_stats = static_data.era5_mean_std()
     fm, fs = (jnp.asarray(field_stats[0], jnp.float32),
               jnp.asarray(field_stats[1], jnp.float32))
+    ens_spec = None
+    if ens_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        (ens_ax,) = ens_mesh.axis_names
+        ens_spec = NamedSharding(ens_mesh, P(None, ens_ax))
 
     @jax.jit
     def _score(p, z, truth, climate):
         # z: (E, T, h, w, C) physical latents; truth/climate:
         # (T, H, W, C) physical
         E, T = z.shape[:2]
+        zT = jnp.swapaxes(z, 0, 1)  # chunk over lead time: (T, E, h, w, C)
+        if ens_spec is not None:
+            # lax.map steps over lead times; shard each chunk's members
+            # so every step decodes in parallel on all devices
+            zT = jax.lax.with_sharding_constraint(zT, ens_spec)
         dec = jax.lax.map(
             lambda zz: dcae.apply(p, zz, method=AutoencoderDC.decode),
-            jnp.swapaxes(z, 0, 1))  # chunk over lead time: (T, E, h, w, C)
+            zT)
         dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
         dec = transforms.inverse_normalize(dec, fm, fs, 1.0)  # physical
 
@@ -204,6 +221,13 @@ def main(argv=None):
                     help="with --diagnostics: write the calibration "
                          "panel figure (RMSE vs spread, rank histograms, "
                          "spectra) to this path")
+    ap.add_argument("--shard_ensemble", action="store_true",
+                    help="shard ensemble members over all local devices "
+                         "through the decode (the scorer's FLOPs) via a "
+                         "1-D 'ens' mesh -- the single-host pod "
+                         "deployment mode; metrics are unchanged. "
+                         "Multi-HOST work split stays the process-strided "
+                         "init-time sharding")
     args = ap.parse_args(argv)
 
     if args.climatology is None and not args.allow_truth_mean_climatology:
@@ -263,8 +287,14 @@ def main(argv=None):
             cl = np.broadcast_to(np.nanmean(truth, axis=0, keepdims=True),
                                  truth.shape)
         if score_fn is None:
+            ens_mesh = None
+            if args.shard_ensemble:
+                from ladcast_tpu.parallel.mesh import make_mesh
+
+                ens_mesh = make_mesh("ens", jax.local_devices())
             score_fn = make_score_fn(dcae, dcae_params, lat_w,
-                                     diagnostics=args.diagnostics)
+                                     diagnostics=args.diagnostics,
+                                     ens_mesh=ens_mesh)
         m = score_fn(jnp.asarray(lat, jnp.float32),
                      jnp.asarray(truth, jnp.float32),
                      jnp.asarray(cl, jnp.float32))

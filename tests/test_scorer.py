@@ -116,6 +116,41 @@ def test_score_fn_matches_reference_loop_composition():
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_score_fn_ens_mesh_matches_unsharded():
+    """make_score_fn(ens_mesh=...) shards members over the 8-device
+    virtual mesh through the decode; E=3 is NOT divisible by 8, so this
+    also pins that GSPMD's internal padding leaves every metric
+    unchanged (vs the unsharded scorer, up to fp32 reassociation)."""
+    from ladcast_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY_DCAE)
+    dcae = AutoencoderDC(cfg)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, H, W, 8), jnp.float32)
+    st = jnp.asarray(rng.randn(H, W, 1), jnp.float32)
+    params = dcae.init(jax.random.PRNGKey(0), x, st)
+
+    lat_phys = jnp.asarray(rng.randn(E, T, 2, 4, 4) * 0.5, jnp.float32)
+    fm = rng.randn(8).astype(np.float32)
+    fs = (rng.rand(8) + 0.5).astype(np.float32)
+    truth = (rng.randn(T, H, W, 8) * fs + fm).astype(np.float32)
+    truth[:, 0, 0, SST] = np.nan
+    climate = (rng.randn(T, H, W, 8) * fs + fm).astype(np.float32)
+    lat = np.linspace(-88.5, 90, H)
+    lat_w = jnp.asarray(cos_lat_weights(lat), jnp.float32)
+
+    kw = dict(field_stats=(fm, fs), diagnostics=True)
+    ref = make_score_fn(dcae, params, lat_w, **kw)(
+        lat_phys, jnp.asarray(truth), jnp.asarray(climate))
+    got = make_score_fn(dcae, params, lat_w, ens_mesh=make_mesh("ens"),
+                        **kw)(
+        lat_phys, jnp.asarray(truth), jnp.asarray(climate))
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+
+
 def test_filter_latent_files():
     """Scorer date-range bounds: init in [start, end - total_lead]
     (reference evaluate_ens_gpu.py:83-89, 213-215)."""
