@@ -237,8 +237,11 @@ def main(argv=None):
     # per-host input feed: every process computes the same shuffled order
     # (shared seed) and reads only its contiguous slice of each global
     # batch; make_global_batch assembles the sharded global array
-    # (SURVEY.md section 2.2 "Dataloader sharding").
-    local_slice = dist.host_local_slice(global_bs)
+    # (SURVEY.md section 2.2 "Dataloader sharding"). The slice is derived
+    # from the batch SHARDING, not the process index: when the model axis
+    # spans hosts, all processes of one data group must read identical
+    # rows (replica processes must hold identical data).
+    local_slice = dist.batch_feed_slice(bsh, global_bs)
     it = batch_iterator(dataset, global_bs, shuffle=dl_cfg.get("shuffle", True),
                         seed=args.seed,
                         num_push_forward_steps=tcfg.num_push_forward_steps,
@@ -260,7 +263,8 @@ def main(argv=None):
     # local slice and a plain device_put over a cross-host sharding
     # would mistake it for the global array
     state = jax.jit(init_fn, out_shardings=state_sh)(
-        jax.random.PRNGKey(args.seed), dist.make_global_batch(example, bsh))
+        jax.random.PRNGKey(args.seed),
+        dist.make_global_batch(example, bsh, global_rows=global_bs))
     mgr = ckpt.make_manager(os.path.join(out_dir, "ckpts"),
                             max_to_keep=gen_cfg.get("checkpoints_total_limit", 3))
     start_step = 0
@@ -426,7 +430,7 @@ def main(argv=None):
                     num_push_forward_steps=tcfg.num_push_forward_steps,
                     batch_slice=local_slice)
                 batch = next(it)
-            batch = dist.make_global_batch(batch, bsh)
+            batch = dist.make_global_batch(batch, bsh, global_rows=global_bs)
         key, sub = jax.random.split(key)
         with timer.phase("step_dispatch"):
             state, aux = step_fn(state, batch, sub)

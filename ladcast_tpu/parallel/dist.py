@@ -83,7 +83,41 @@ def host_local_slice(global_batch_size: int) -> slice:
     return slice(jax.process_index() * per, (jax.process_index() + 1) * per)
 
 
-def make_global_batch(batch, sharding):
+def batch_feed_slice(sharding, global_batch_size: int) -> slice:
+    """The rows of the deterministic global batch order this process must
+    read to feed :func:`make_global_batch` under ``sharding`` (batch
+    axis 0).
+
+    Generalizes :func:`host_local_slice` to meshes where a model/TP axis
+    spans hosts: ``jax.make_array_from_process_local_data`` requires
+    replica processes to hold IDENTICAL data, so all processes in the
+    same data-parallel group get the same (overlapping) slice -- a
+    disjoint per-process split would scatter examples into wrong
+    data-group coordinates (or fail assembly). On a pure-DP mesh aligned
+    with process boundaries this degrades to :func:`host_local_slice`.
+    """
+    if jax.process_count() == 1:
+        return slice(0, global_batch_size)
+    idx_map = sharding.addressable_devices_indices_map(
+        (global_batch_size,))
+    spans = sorted({
+        (idx[0].start or 0,
+         global_batch_size if idx[0].stop is None else idx[0].stop)
+        for idx in idx_map.values()})
+    # a slice-based reader needs the union of addressable rows to be
+    # contiguous; standard (data, model) meshes built from the
+    # process-ordered jax.devices() list satisfy this
+    cover = spans[0][1]
+    for a, b in spans[1:]:
+        if a > cover:
+            raise ValueError(
+                f"addressable batch rows are non-contiguous: {spans}; "
+                "this mesh layout needs a per-device batch reader")
+        cover = max(cover, b)
+    return slice(spans[0][0], cover)
+
+
+def make_global_batch(batch, sharding, global_rows: Optional[int] = None):
     """Form a global device array from per-process host-local data.
 
     The reference scatters main-process batches via Accelerate
@@ -96,6 +130,13 @@ def make_global_batch(batch, sharding):
     sharded leaves) is the *per-process* batch; ``sharding`` is a matching
     pytree of NamedSharding (or a single sharding applied to all leaves).
     Replicated leaves (PartitionSpec ()) must be identical across hosts.
+
+    ``global_rows``: the global batch size. REQUIRED whenever a model/TP
+    mesh axis spans hosts (processes in one data group then hold
+    identical, overlapping rows, so the default
+    ``local * process_count`` inference over-counts); pair the local
+    read with :func:`batch_feed_slice`. Defaults to the pure-DP
+    inference ``x.shape[0] * process_count()``.
     """
     single = hasattr(sharding, "spec")
     if jax.process_count() == 1:
@@ -110,7 +151,9 @@ def make_global_batch(batch, sharding):
         if not s.spec or all(p is None for p in s.spec):
             # replicated leaf: every host holds the full value
             return jax.make_array_from_process_local_data(s, x, x.shape)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        rows = (global_rows if global_rows is not None
+                else x.shape[0] * jax.process_count())
+        global_shape = (rows,) + x.shape[1:]
         return jax.make_array_from_process_local_data(s, x, global_shape)
 
     if single:

@@ -117,6 +117,26 @@ def main():
     fetched = dist.fetch_full_tree(sharded)
     assert np.array_equal(np.asarray(fetched["w"]), garr), fetched["w"]
 
+    # TP-spanning feed: with a model axis across hosts, batch_feed_slice
+    # must give every process in one data group the SAME rows (replica
+    # processes must hold identical data), and make_global_batch must be
+    # told the true global row count instead of inferring
+    # local * process_count (cli/train_ar.py's --mesh path).
+    nd = len(devices)
+    garr2 = np.arange(nd * 2 * 5, dtype=np.float32).reshape(nd * 2, 5)
+    for dshape in ((1, nd), (max(1, nd // 2), min(2, nd))):
+        m2 = Mesh(np.asarray(devices).reshape(dshape), ("data", "model"))
+        bsh2 = NamedSharding(m2, P("data"))
+        gb = garr2[: dshape[0] * 2]  # 2 rows per data-group
+        fsl = dist.batch_feed_slice(bsh2, gb.shape[0])
+        assembled = dist.make_global_batch({"x": gb[fsl]}, bsh2,
+                                           global_rows=gb.shape[0])
+        back = dist.fetch_full_tree(assembled)
+        assert np.array_equal(np.asarray(back["x"]), gb), (dshape, back["x"])
+    # the pure-DP 1-D mesh degrades to the disjoint host_local_slice
+    assert dist.batch_feed_slice(bsh, GLOBAL_B) == \
+        dist.host_local_slice(GLOBAL_B)
+
     dist.barrier("worker-done")
 
     if jax.process_index() == 0:

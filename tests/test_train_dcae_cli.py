@@ -113,7 +113,8 @@ def test_train_dcae_ft_decoder_init_weights(tmp_path):
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_flatten_with_path(enc_a)[0],
             jax.tree_util.tree_flatten_with_path(enc_b)[0]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), pa
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
     dk_a = trained["params"]["decoder"]
     dk_b = pretrained["params"]["decoder"]
     moved = any(
