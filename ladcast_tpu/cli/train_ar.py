@@ -32,6 +32,7 @@ from ladcast_tpu.data.latent_dataset import (
     ARLatentDataset,
     ARWindowConfig,
     ArrayLatentSource,
+    ShardedLatentSource,
     batch_iterator,
     open_zarr_latent_source,
 )
@@ -74,9 +75,10 @@ def load_latent_source(path: str, start_date=None, end_date=None,
                     raise
                 print(f"native reader unavailable ({e}); "
                       "falling back to numpy mmap")
-        arrs = [np.load(s, mmap_mode="r") for s in shards]
-        arr = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
-        return ArrayLatentSource(arr, ts)
+        # lazy per-batch reads: a multi-shard archive bigger than host RAM
+        # must stream, not materialize (np.concatenate over mmap arrays
+        # copies every shard into memory)
+        return ShardedLatentSource(shards, ts)
     return open_zarr_latent_source(path, start_date=start_date,
                                    end_date=end_date,
                                    load_in_memory=load_in_memory)
