@@ -12,6 +12,15 @@ math/PRNG as the fully-scanned engine, but individual device executions
 stay ~10 s, which is robust on remote-attached single chips. The final
 sync fetches a scalar, so timings are honest.
 
+Multi-chip: with >1 visible device the bench builds a 1-D 'ens' mesh and
+shards members (and the fused decode's frames) over it, exactly like
+`cli/pred_rollout.py --shard_ensemble` / `rollout/pipeline.py` `ens_mesh`
+(the reference instead host-loops member micro-batches,
+pipelines/utils.py:701-740). The member PRNG folds the member INDEX, so
+the math is mesh-independent; `tests/test_bench_mesh.py` asserts the
+sharded program reproduces the single-device trajectory on an 8-device
+CPU mesh. On one chip the path is byte-identical to the round-4 bench.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
 
@@ -19,6 +28,14 @@ vs_baseline: the reference repo publishes no wall-clock numbers; the
 north-star target is <60 s on a v5e-8 (BASELINE.md). We normalize by chip
 count: target_this_host = 60 * 8 / n_chips seconds, and report
 vs_baseline = target_this_host / measured (>1 == beating the target).
+
+Flags (defaults preserve the driver contract exactly):
+  --sampler edm|dpm   denoiser sampler (default edm = Heun, 2N-1 NFE per
+                      chunk; dpm = DPM-Solver++(2M), N NFE -- the
+                      reference's own pipeline_AR.py sampler)
+  --nfe N             num_inference_steps per 4-frame chunk (default 20)
+  --profile DIR       jax.profiler trace of one forecast
+  --dispatch-stats    print host issue vs device sync split
 """
 
 import json
@@ -73,38 +90,31 @@ def wait_for_backend(budget_s: float = 2700.0, probe_timeout_s: float = 180.0,
         time.sleep(sleep_s)
 
 
-def main():
-    wait_for_backend()
-    from ladcast_tpu.config import (
-        DCAEConfig,
-        EDMSchedulerConfig,
-        RolloutConfig,
-        ladcast_375m_config,
-    )
+def make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=None,
+               compute_dtype=jnp.bfloat16, latent_hw=(15, 30),
+               grid_hw=(120, 240)):
+    """Build the bench forecast closure (importable so tests can run the
+    SAME sharding code path at tiny shapes on a CPU mesh).
+
+    Returns a dict with:
+      full_forecast(key, dispatch_stats=None) -> (acc, mean)
+      flops_per_forecast: XLA cost-analysis FLOPs of one full forecast
+        (10 repetition programs + 1 encode), or None if the backend's
+        PJRT cost analysis is unavailable.
+    """
     from ladcast_tpu.models.dcae import AutoencoderDC
     from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
     from ladcast_tpu.rollout.engine import make_repetition_fn
     from ladcast_tpu.rollout.pipeline import cast_pytree
 
-    n_chips = len(jax.devices())
-    cdt = jnp.bfloat16
-
-    # LADCAST_INT8=1: A/B the opt-in w8a8 int8 DiT matmul path
-    # (ops/quant.py) at the full-bench level. Approximate — never the
-    # default until validated on trained weights (PERFORMANCE.md).
-    import os
-    dit_cfg = ladcast_375m_config(
-        int8_matmuls=bool(os.environ.get("LADCAST_INT8")))
-    dcae_cfg = DCAEConfig()
-    sched_cfg = EDMSchedulerConfig()
-    ens = -(-20 // n_chips) * n_chips  # pad to chip multiple
-    rcfg = RolloutConfig(ensemble_size=ens)
-
+    cdt = compute_dtype
+    ens = rcfg.ensemble_size
     dit = LaDCastTransformer3D(dit_cfg)
     dcae = AutoencoderDC(dcae_cfg)
 
-    T_in, H, W, C = rcfg.input_seq_len, 15, 30, 84
-    GH, GW = 120, 240
+    T_in = rcfg.input_seq_len
+    (H, W), C = latent_hw, dit_cfg.in_channels
+    GH, GW = grid_hw
     fields = jax.random.normal(jax.random.PRNGKey(0), (T_in, GH, GW, C))
     static = jax.random.normal(jax.random.PRNGKey(1), (GH, GW, 5))
 
@@ -115,19 +125,35 @@ def main():
         jnp.zeros((1, rcfg.return_seq_len, H, W, C)), jnp.zeros((1,)),
         jnp.zeros((1, T_in, H, W, C)), jnp.zeros((1,))), cdt)
 
-    @jax.jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert len(mesh.axis_names) == 1
+        (ens_ax,) = mesh.axis_names
+        assert ens % mesh.devices.size == 0, (ens, mesh.devices.size)
+        repl = NamedSharding(mesh, P())
+        ens_sh = NamedSharding(mesh, P(ens_ax))
+        # commit params replicated ONCE (pipeline.py does the same): a
+        # per-call implicit reshard would re-broadcast every dispatch
+        dit_params = jax.device_put(dit_params, repl)
+        dcae_params = jax.device_put(dcae_params, repl)
+    else:
+        ens_ax = repl = ens_sh = None
+
     def encode(p, f, s):
         z = dcae.apply(p, f.astype(cdt), s.astype(cdt),
                        method=AutoencoderDC.encode)
         return z.astype(jnp.float32)
 
+    encode_jit = (jax.jit(encode) if mesh is None else
+                  jax.jit(encode, in_shardings=(repl, repl, repl),
+                          out_shardings=repl))
+
+    rep_fn = make_repetition_fn(sched_cfg, rcfg)
+
     def net_fn(p, lat, cn, cond, yp):
         out = dit.apply(p, lat.astype(cdt), cn, cond.astype(cdt), yp)
         return out.astype(jnp.float32)
 
-    rep_fn = make_repetition_fn(sched_cfg, rcfg)
-
-    @jax.jit
     def rep_and_decode(dit_p, dcae_p, known, yp, kk):
         """One AR repetition + on-device decode of its 4 frames, fused in
         a single dispatch: the 800 frame-decodes ride the 10 repetition
@@ -135,22 +161,42 @@ def main():
         new_known, samples = rep_fn(net_fn, dit_p, known, yp, kk)
         E, T_out = samples.shape[:2]
         frames = samples.reshape(E * T_out, H, W, C)
+        if mesh is not None:
+            # keep the flattened frame axis member-sharded through the
+            # decoder (E divisible by mesh size => E*T_out is too)
+            from jax.sharding import PartitionSpec as P
+            frames = jax.lax.with_sharding_constraint(
+                frames, jax.sharding.NamedSharding(mesh, P(ens_ax)))
         dec = dcae.apply(dcae_p, frames.astype(cdt),
                          method=AutoencoderDC.decode)
         return new_known, samples, dec.astype(jnp.float32).mean()
 
+    if mesh is None:
+        rep_jit = jax.jit(rep_and_decode)
+    else:
+        rep_jit = jax.jit(
+            rep_and_decode,
+            in_shardings=(repl, repl, ens_sh, repl, repl),
+            out_shardings=(ens_sh, ens_sh, repl))
+
     year_progress = np.linspace(0.4, 0.45, rcfg.num_repetitions)
 
     def full_forecast(key, dispatch_stats=None):
-        z = encode(dcae_params, fields, static)
+        z = encode_jit(dcae_params, fields, static)
         known = jnp.broadcast_to(z[None], (ens, T_in, H, W, C))
+        if mesh is not None:
+            # explicit in_shardings refuse implicit resharding of
+            # committed arrays; lay the member axis out once
+            known = jax.device_put(known, ens_sh)
         key, _pert = jax.random.split(key)
         rep_keys = jax.random.split(key, rcfg.num_repetitions)
+        if mesh is not None:
+            rep_keys = jax.device_put(rep_keys, repl)
         acc = 0.0
         outs = []
         t_loop0 = time.perf_counter()
         for r in range(rcfg.num_repetitions):
-            known, samples, dec_mean = rep_and_decode(
+            known, samples, dec_mean = rep_jit(
                 dit_params, dcae_params, known,
                 jnp.asarray(year_progress[r]), rep_keys[r])
             outs.append(samples)
@@ -176,20 +222,112 @@ def main():
             (acc_f, mean_f)
         return acc_f, mean_f
 
+    def full_forecast_traj(key):
+        """Test hook: the full latent trajectory (E, steps, H, W, C),
+        same dispatch sequence as full_forecast."""
+        z = encode_jit(dcae_params, fields, static)
+        known = jnp.broadcast_to(z[None], (ens, T_in, H, W, C))
+        if mesh is not None:
+            known = jax.device_put(known, ens_sh)
+        key, _pert = jax.random.split(key)
+        rep_keys = jax.random.split(key, rcfg.num_repetitions)
+        outs = []
+        for r in range(rcfg.num_repetitions):
+            known, samples, _ = rep_jit(
+                dit_params, dcae_params, known,
+                jnp.asarray(year_progress[r]), rep_keys[r])
+            outs.append(samples)
+        traj = jnp.concatenate(outs, axis=1)[:, : rcfg.total_num_steps]
+        return np.asarray(jax.device_get(traj))
+
+    def flops_per_forecast():
+        """XLA cost-analysis FLOPs of one forecast: num_repetitions x the
+        fused repetition+decode program + 1 encode. Uses the PJRT
+        compiled-executable cost analysis (exact HLO FLOP count, so the
+        MFU denominator is the real math, not a hand FLOPs model that
+        over/under-counts this hybrid dual-stream architecture). Returns
+        None when the backend does not expose cost analysis."""
+        try:
+            known0 = jnp.zeros((ens, T_in, H, W, C), jnp.float32)
+            if mesh is not None:
+                known0 = jax.device_put(known0, ens_sh)
+            rep_c = rep_jit.lower(
+                dit_params, dcae_params, known0,
+                jnp.asarray(0.5, jnp.float32),
+                jax.random.PRNGKey(0)).compile()
+            enc_c = encode_jit.lower(dcae_params, fields, static).compile()
+            fl = []
+            for c in (rep_c, enc_c):
+                ca = c.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                fl.append(float(ca["flops"]))
+            return fl[0] * rcfg.num_repetitions + fl[1]
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"# cost analysis unavailable: {e!r}", flush=True)
+            return None
+
+    return {"full_forecast": full_forecast,
+            "full_forecast_traj": full_forecast_traj,
+            "flops_per_forecast": flops_per_forecast,
+            "ens": ens}
+
+
+def main():
+    wait_for_backend()
+    from ladcast_tpu.config import (
+        DCAEConfig,
+        EDMSchedulerConfig,
+        RolloutConfig,
+        ladcast_375m_config,
+    )
+
+    argv = sys.argv[1:]
+
+    def flag_val(name, default):
+        return argv[argv.index(name) + 1] if name in argv else default
+
+    sampler = flag_val("--sampler", "edm")
+    nfe = int(flag_val("--nfe", "20"))
+
+    n_chips = len(jax.devices())
+
+    # LADCAST_INT8=1: A/B the opt-in w8a8 int8 DiT matmul path
+    # (ops/quant.py) at the full-bench level. Approximate — never the
+    # default until validated on trained weights (PERFORMANCE.md).
+    int8 = bool(os.environ.get("LADCAST_INT8"))
+    dit_cfg = ladcast_375m_config(int8_matmuls=int8)
+    dcae_cfg = DCAEConfig()
+    sched_cfg = EDMSchedulerConfig()
+    ens = -(-20 // n_chips) * n_chips  # pad to chip multiple
+    rcfg = RolloutConfig(ensemble_size=ens, sampler_type=sampler,
+                         num_inference_steps=nfe)
+
+    mesh = None
+    if n_chips > 1:
+        # shard members over all chips, params replicated — the same
+        # SPMD layout as cli/pred_rollout.py --shard_ensemble (member
+        # PRNG is index-folded, so math is mesh-independent; asserted
+        # against the single-device trajectory by tests/test_bench_mesh)
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("ens",))
+
+    b = make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=mesh)
+    full_forecast = b["full_forecast"]
+
     full_forecast(jax.random.PRNGKey(4))  # compile (excluded)
 
-    if "--profile" in sys.argv:
+    if "--profile" in argv:
         # jax.profiler trace of one timed forecast (ROADMAP item 8);
         # view with TensorBoard/Perfetto. Off by default -- the driver's
         # contract is the single JSON line below.
         from ladcast_tpu.utils.profiling import device_trace
-        pdir = sys.argv[sys.argv.index("--profile") + 1]
+        pdir = argv[argv.index("--profile") + 1]
         with device_trace(pdir):
             full_forecast(jax.random.PRNGKey(99))
         print(f"# profiler trace written to {pdir}", flush=True)
 
     times = []
-    dstats = [] if "--dispatch-stats" in sys.argv else None
+    dstats = [] if "--dispatch-stats" in argv else None
     for i in range(2):
         t0 = time.perf_counter()
         full_forecast(jax.random.PRNGKey(5 + i), dstats)
@@ -203,7 +341,7 @@ def main():
     # BASELINE.json also asks for denoise steps/sec per member:
     # num_repetitions * num_inference_steps denoise steps per member.
     member_steps = rcfg.num_repetitions * rcfg.num_inference_steps * ens
-    print(json.dumps({
+    out = {
         "metric": f"375M 20-member 240h ensemble rollout wall-clock "
                   f"({n_chips} chip{'s' if n_chips > 1 else ''}, "
                   f"{ens} members incl. encode+decode)",
@@ -211,7 +349,21 @@ def main():
         "unit": "s",
         "vs_baseline": round(target / measured, 3),
         "member_denoise_steps_per_s": round(member_steps / measured, 1),
-    }))
+    }
+    if sampler != "edm" or nfe != 20:
+        out["metric"] += f" [sampler={sampler} nfe={nfe}]"
+    flops = b["flops_per_forecast"]()
+    if flops is not None:
+        # MFU = (exact XLA FLOP count of the 10 fused repetition+decode
+        # programs + encode) / (wall-clock x per-chip peak x n_chips).
+        # Peak: v5e 197 TFLOP/s bf16; int8 matmuls run at 394 TOP/s, so
+        # the int8 bench is scored against the int8 roofline. Wall-clock
+        # includes host dispatch gaps, so this is end-to-end (honest) MFU,
+        # not a kernel-window number.
+        peak = 394e12 if int8 else 197e12
+        out["denoiser_mfu"] = round(flops / (measured * peak * n_chips), 4)
+        out["forecast_tflops"] = round(flops / 1e12, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
