@@ -222,6 +222,12 @@ def main(argv=None):
 
     for ts in init_times:
         t0 = time.time()
+        # per-init key: fold the init TIMESTAMP (not a sequential split)
+        # so a given (seed, init_time) forecast is identical regardless
+        # of process count, init-time striding, or restart point — the
+        # same invariance contract as the member-index folding inside
+        # the engine (tests/test_multihost.py asserts 2-proc == 1-proc)
+        sub = jax.random.fold_in(key, ts)
         input_ts = [time_utils.add_hours_int(ts, -args.step_size_hour * i)
                     for i in range(args.input_seq_len - 1, -1, -1)]
         try:
@@ -233,7 +239,6 @@ def main(argv=None):
         fields = transforms.normalize(raw, fm, fs)
         fields = np.where(
             np.isnan(fields), -2.0, fields).astype(np.float32)  # SST mask
-        key, sub = jax.random.split(key)
         traj, decoded, z_analysis = pipe.forecast_from_fields(
             jnp.asarray(fields), ts, sub, decode=not args.save_as_latent)
 

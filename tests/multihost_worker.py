@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", default="train", choices=("train", "infer"))
+    ap.add_argument("--workdir", default=None,
+                    help="shared artifact dir (infer mode)")
     args = ap.parse_args()
 
     if args.num_processes > 1:
@@ -49,6 +52,9 @@ def main():
             coordinator_address=f"localhost:{args.port}",
             num_processes=args.num_processes,
             process_id=args.process_id)
+
+    if args.mode == "infer":
+        return infer_main(args)
 
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -146,6 +152,118 @@ def main():
                        "gathered_loss_spread":
                            float(gathered[:, 1].max() - gathered[:, 1].min()),
                        "num_devices": len(devices)}, f)
+
+
+def infer_main(args):
+    """The INFERENCE multi-host path (VERDICT r4 next-round #4): the
+    production pred_rollout/evaluate_ens plumbing — process-strided init
+    times (pred_rollout.py:217), per-init keys folded from the init
+    timestamp, an ens-mesh rollout over LOCAL devices (the
+    --shard_ensemble layout), per-init latent artifacts into a SHARED
+    dir, then scorer-style rank shards (dist.shard_list over the files,
+    <key>.rank{r}.npy writes) merged by rank 0 through the REAL
+    cli/evaluate_ens.merge_rank_shards. The test asserts every artifact
+    and the merged score table are identical between 1-proc and 2-proc
+    runs (each process always has 2 local devices, so the per-init
+    program is the same in both)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ladcast_tpu.cli.evaluate_ens import (
+        init_time_from_filename,
+        merge_rank_shards,
+    )
+    from ladcast_tpu.config import EDMSchedulerConfig, LaDCastDiTConfig, \
+        RolloutConfig
+    from ladcast_tpu.data import time_utils
+    from ladcast_tpu.parallel import dist
+    from ladcast_tpu.parallel.mesh import make_mesh
+    from ladcast_tpu.rollout.engine import ensemble_rollout
+
+    workdir = args.workdir
+    os.makedirs(workdir, exist_ok=True)
+
+    tiny = LaDCastDiTConfig(
+        in_channels=4, out_channels=4,
+        num_attention_heads=2, attention_head_dim=16,
+        num_layers=1, num_single_layers=1, num_refiner_layers=1,
+        mlp_ratio=2.0, rope_axes_dim=(4, 6, 6),
+        conditioning_tensor_rope_axes_dim=(4, 6, 6),
+        conditioning_tensor_in_channels=4, attention_impl="xla")
+    sched = EDMSchedulerConfig()
+    rcfg = RolloutConfig(ensemble_size=4, num_inference_steps=2,
+                         total_lead_time_hour=48)
+
+    from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
+    net = LaDCastTransformer3D(tiny)
+    Tin, H, W, C = rcfg.input_seq_len, 4, 6, 4
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, rcfg.return_seq_len, H, W, C)), jnp.zeros((1,)),
+        jnp.zeros((1, Tin, H, W, C)), jnp.zeros((1,)))
+
+    # ens mesh over LOCAL devices: multi-HOST work split stays the
+    # process-strided init times, like cli/pred_rollout --shard_ensemble
+    mesh = make_mesh("ens", jax.local_devices())
+    repl = NamedSharding(mesh, P())
+    ens_sh = NamedSharding(mesh, P("ens"))
+    params = jax.device_put(params, repl)
+
+    def roll(p, known, yp, key):
+        def net_fn(lat, cn, cond, ypb):
+            return net.apply(p, lat, cn, cond, ypb)
+        return ensemble_rollout(net_fn, known, yp, key, sched, rcfg)
+
+    roll_jit = jax.jit(roll, in_shardings=(repl, ens_sh, repl, repl),
+                       out_shardings=ens_sh)
+
+    all_init_times = [2018010100, 2018011512, 2018020100, 2018021518]
+    init_times = all_init_times[jax.process_index()::jax.process_count()]
+
+    base_key = jax.random.PRNGKey(11)
+    rngf = np.random.RandomState(3)  # same fields on every process
+    fields_by_ts = {ts: rngf.randn(Tin, H, W, C).astype(np.float32)
+                    for ts in all_init_times}
+    for ts in init_times:
+        sub = jax.random.fold_in(base_key, ts)  # pred_rollout's contract
+        known = jnp.broadcast_to(
+            jnp.asarray(fields_by_ts[ts])[None],
+            (rcfg.ensemble_size, Tin, H, W, C))
+        known = jax.device_put(known, ens_sh)
+        yp = jnp.asarray(time_utils.rollout_year_progress(
+            ts, rcfg.num_repetitions,
+            rcfg.step_size_hour * rcfg.return_seq_len))
+        traj = roll_jit(params, known, yp, sub)
+        np.save(os.path.join(workdir, f"latent_{ts}.npy"),
+                np.asarray(jax.device_get(traj)))
+
+    dist.barrier("infer-rollout-done")
+
+    # scoring stage: stride the artifact FILES over ranks (the scorer's
+    # split, evaluate_ens.py:256 / dist.shard_list), one metric row per
+    # init time into per-rank shard files
+    import glob
+    files = sorted(glob.glob(os.path.join(workdir, "latent_*.npy")))
+    my_files = dist.shard_list(files)
+    rows = []
+    for f in my_files:
+        ts = init_time_from_filename(f)
+        arr = np.load(f)
+        rows.append([float(ts), float(np.sqrt((arr ** 2).mean()))])
+    rank = dist.process_index()
+    np.save(os.path.join(workdir, f"m.rank{rank}.npy"),
+            np.asarray(rows, np.float64).reshape(len(rows), 2))
+
+    dist.barrier("infer-score-done")
+    if jax.process_index() == 0:
+        merged = merge_rank_shards(workdir, ["m"], jax.process_count())
+        order = np.argsort(merged["m"][:, 0])
+        with open(args.out, "w") as f:
+            json.dump({
+                "init_times": [int(t) for t in merged["m"][order, 0]],
+                "scores": [float(s) for s in merged["m"][order, 1]],
+                "num_devices": len(jax.devices()),
+            }, f)
 
 
 if __name__ == "__main__":
