@@ -77,6 +77,95 @@ def make_data(args):
           f"{args.eval_out} ({args.frames - n_tr} frames)")
 
 
+def make_field_data(args):
+    """FIELD-space rehearsal data for the production CLI chain (VERDICT
+    r4 next-round #3): the synthetic latent dynamics are DECODED to
+    physical ERA5-grid fields through a fixed randomly-initialized
+    production DCAE, and the TRAINING latents are the ENCODE of those
+    fields through the same DCAE -- the exact transform
+    cli/pred_rollout applies at inference -- so the DiT trains on
+    precisely the conditioning distribution the chain will feed it
+    (encode(decode(z)) != z for an untrained AE; training on raw z would
+    shift the input distribution). Writes:
+
+      <dcae_out>            hub-layout DCAE dir shared by every stage
+      <train_out>           (N_tr, 15, 30, 84) PHYSICAL latents npz for
+                            cli.train_ar
+      <eval_fields_out>     (N_ev, 120, 240, 84) PHYSICAL fields npz --
+                            both pred_rollout --data and
+                            evaluate_ens --truth
+
+    Runs on the TPU (full-resolution decode of every frame).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ladcast_tpu import static_data
+    from ladcast_tpu.config import DCAEConfig
+    from ladcast_tpu.data import time_utils, transforms
+    from ladcast_tpu.models import hub
+    from ladcast_tpu.models.dcae import AutoencoderDC
+    from ladcast_tpu.rollout.pipeline import cast_pytree
+
+    zn = synth_trajectory(args.frames, args.seed)
+    lm, ls = static_data.latent_mean_std()
+    fm, fs = static_data.era5_mean_std()
+    static_cond = jnp.asarray(
+        static_data.static_conditioning_tensor(layout="HWC"))
+    z_phys = (zn * ls + lm).astype(np.float32)
+
+    cfg = DCAEConfig()
+    dcae = AutoencoderDC(cfg)
+    params_f32 = jax.jit(dcae.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 120, 240, 84)),
+        jnp.zeros((120, 240, 5)))
+    hub.save_pretrained(args.dcae_out, "dcae", cfg, params_f32)
+    cdt = jnp.bfloat16
+    params = cast_pytree(params_f32, cdt)
+
+    fm_j, fs_j = jnp.asarray(fm), jnp.asarray(fs)
+
+    @jax.jit
+    def roundtrip(p, z_chunk):
+        # physical latent -> normalized fields (decoder) -> physical
+        # fields, then back through the encoder exactly as pred_rollout
+        # does: normalize(raw) -> encode -> physical latent
+        dec_norm = dcae.apply(p, z_chunk.astype(cdt),
+                              method=AutoencoderDC.decode)
+        dec_norm = dec_norm.astype(jnp.float32)
+        f_phys = transforms.inverse_normalize(dec_norm, fm_j, fs_j, 1.0)
+        f_norm = transforms.normalize(f_phys, fm_j, fs_j)
+        z2 = dcae.apply(p, f_norm.astype(cdt), static_cond.astype(cdt),
+                        method=AutoencoderDC.encode)
+        return f_phys, z2.astype(jnp.float32)
+
+    n_tr = args.train_frames
+    chunk = 20
+    z_tr, f_ev = [], []
+    t0 = time.time()
+    for i in range(0, args.frames, chunk):
+        f_phys, z2 = roundtrip(params, jnp.asarray(z_phys[i:i + chunk]))
+        z2 = np.asarray(z2)
+        z_tr.append(z2)
+        if i + chunk > n_tr:  # eval window: fetch full-res fields
+            f = np.asarray(f_phys)
+            lo = max(n_tr - i, 0)
+            f_ev.append(f[lo:])
+        if i % 200 == 0:
+            print(f"# roundtrip {i}/{args.frames} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    z_all = np.concatenate(z_tr)
+    fields_ev = np.concatenate(f_ev)
+    ts = np.asarray([time_utils.add_hours_int(args.start_ts, 6 * i)
+                     for i in range(args.frames)], np.int64)
+    np.savez(args.train_out, latents=z_all[:n_tr], timestamps=ts[:n_tr])
+    np.savez(args.eval_fields_out, fields=fields_ev, timestamps=ts[n_tr:])
+    print(f"wrote {args.dcae_out}, {args.train_out} ({n_tr} latent "
+          f"frames), {args.eval_fields_out} "
+          f"({fields_ev.shape[0]} field frames, "
+          f"{ts[n_tr]}..{ts[-1]}) in {time.time() - t0:.0f}s")
+
+
 def make_variant_runner(label, dit_cfg, sched_cfg, rcfg, dit_params):
     """Build a reusable host-stepped rollout runner (same math/PRNG as
     the scanned engine; bench.py pattern). The jitted repetition program
@@ -171,6 +260,17 @@ def evaluate(args):
                        dataclasses.replace(rcfg, correction_skip_period=2)),
     }
     wanted = args.variants.split(",")
+    for name in wanted:
+        # "dpm<NFE>" (e.g. dpm20, dpm10): the reference's OWN second
+        # sampler (pipeline_AR.py DPM-Solver++ 2M) at <NFE> network evals
+        # per chunk vs Heun's 2N-1 -- EXACT reference-sanctioned math,
+        # not an approximation (VERDICT r4 next-round #1). Same rep_keys
+        # as every other variant => the initial member noise draws are
+        # identical (both samplers scale the same unit draw by sigma[0]).
+        if name.startswith("dpm") and name not in variants:
+            nfe = int(name[3:])
+            variants[name] = (base_cfg, dataclasses.replace(
+                rcfg, sampler_type="dpm", num_inference_steps=nfe))
 
     # latent-grid lat weights (the 15-row grid the trainer also weights;
     # mean-1 normalized). Metric helpers reduce over trailing (lat, lon),
@@ -246,6 +346,14 @@ def evaluate(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--make_data", action="store_true")
+    ap.add_argument("--make_field_data", action="store_true",
+                    help="field-space chain data: decode the synthetic "
+                         "latents to full-res fields through a fixed "
+                         "random DCAE and train on their re-encodings "
+                         "(the production-CLI-chain rehearsal input)")
+    ap.add_argument("--dcae_out", default="/tmp/rehearsal_dcae")
+    ap.add_argument("--eval_fields_out",
+                    default="/tmp/rehearsal_eval_fields.npz")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--frames", type=int, default=1480)
     ap.add_argument("--start_ts", type=int, default=2016010100,
@@ -271,6 +379,8 @@ def main():
     args = ap.parse_args()
     if args.make_data:
         make_data(args)
+    if args.make_field_data:
+        make_field_data(args)
     if args.eval:
         assert args.ckpt, "--eval requires --ckpt"
         evaluate(args)
