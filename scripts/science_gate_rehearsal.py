@@ -159,9 +159,12 @@ def make_field_data(args):
     ts = np.asarray([time_utils.add_hours_int(args.start_ts, 6 * i)
                      for i in range(args.frames)], np.int64)
     np.savez(args.train_out, latents=z_all[:n_tr], timestamps=ts[:n_tr])
+    # re-encoded eval latents too: the latent-space --eval A/B and the
+    # field-space CLI chain then share one trained checkpoint
+    np.savez(args.eval_out, latents=z_all[n_tr:], timestamps=ts[n_tr:])
     np.savez(args.eval_fields_out, fields=fields_ev, timestamps=ts[n_tr:])
     print(f"wrote {args.dcae_out}, {args.train_out} ({n_tr} latent "
-          f"frames), {args.eval_fields_out} "
+          f"frames), {args.eval_out}, {args.eval_fields_out} "
           f"({fields_ev.shape[0]} field frames, "
           f"{ts[n_tr]}..{ts[-1]}) in {time.time() - t0:.0f}s")
 
