@@ -156,6 +156,12 @@ def main(argv=None):
                          "identical to single-device (member PRNG is "
                          "index-folded). Multi-HOST work split stays the "
                          "process-strided init-time sharding")
+    ap.add_argument("--host_step", action="store_true",
+                    help="drive the AR loop from the host (one jitted "
+                         "repetition per dispatch) instead of one "
+                         "monolithic scanned program -- identical "
+                         "math/PRNG, much smaller compiles and short "
+                         "device executions (for remote-attached chips)")
     ap.add_argument("--save_as_latent", action="store_true", default=True)
     ap.add_argument("--decode", dest="save_as_latent", action="store_false")
     ap.add_argument("--seed", type=int, default=0)
@@ -200,7 +206,8 @@ def main(argv=None):
                   f"slightly unbalanced)", flush=True)
 
     pipe = ForecastPipeline(dit_cfg, dcae_cfg, sched_cfg, rcfg,
-                            dit_params, dcae_params, ens_mesh=ens_mesh)
+                            dit_params, dcae_params, ens_mesh=ens_mesh,
+                            host_step=args.host_step)
 
     source = (NpzFieldSource(args.data) if args.data.endswith(".npz")
               else ZarrFieldSource(args.data))

@@ -31,7 +31,7 @@ from ladcast_tpu.config import (
 from ladcast_tpu.data import transforms
 from ladcast_tpu.models.dcae import AutoencoderDC
 from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
-from ladcast_tpu.rollout.engine import ensemble_rollout
+from ladcast_tpu.rollout.engine import ensemble_rollout, make_repetition_fn
 
 
 def cast_pytree(tree, dtype):
@@ -61,6 +61,16 @@ class ForecastPipeline:
     The member PRNG is folded per member index (not per device), so the
     random draws are mesh-independent; outputs match the unsharded run
     up to XLA fusion/reduction-order reassociation (~1e-4 relative).
+
+    ``host_step``: drive the AR loop from the host — one jitted
+    repetition program per AR step instead of one monolithic scanned
+    rollout. Same math and PRNG streams (the per-repetition keys come
+    from the identical split of ``key``), so the trajectories are equal;
+    what changes is deployment shape: a ~N-times smaller program to
+    compile and ~N-times shorter device executions, which remote-attached
+    chips tolerate and which lets the host report per-repetition
+    progress. The scanned engine stays the default for directly-attached
+    pods (zero dispatch gaps).
     """
 
     dit_cfg: LaDCastDiTConfig
@@ -71,6 +81,7 @@ class ForecastPipeline:
     dcae_params: dict
     compute_dtype: str = "bfloat16"
     ens_mesh: Optional[Mesh] = None
+    host_step: bool = False
 
     def __post_init__(self):
         self.dit = LaDCastTransformer3D(self.dit_cfg)
@@ -155,12 +166,23 @@ class ForecastPipeline:
                 net_fn, known_latents_norm, year_progress, key,
                 sched_cfg, rcfg, latent_std=latent_std)
 
+        def net_fn_rep(dit_params, latents, c_noise, cond, yp):
+            out = dit.apply(dit_params, latents.astype(cdt), c_noise,
+                            cond.astype(cdt), yp)
+            return out.astype(jnp.float32)
+
+        rep_fn = make_repetition_fn(sched_cfg, rcfg)
+
+        def repetition(dit_params, known, yp, rep_key):
+            return rep_fn(net_fn_rep, dit_params, known, yp, rep_key)
+
         self._ens_sharding = None
         self._n_ens_dev = 1
         if mesh is None:
             self._encode_jit = jax.jit(encode)
             self._decode_jit = jax.jit(decode_latents, static_argnums=2)
             self._forecast_jit = jax.jit(forecast)
+            self._rep_jit = jax.jit(repetition)
         else:
             repl = NamedSharding(mesh, P())
             ens = NamedSharding(mesh, P(ens_ax))
@@ -176,6 +198,9 @@ class ForecastPipeline:
             self._forecast_jit = jax.jit(
                 forecast, in_shardings=(repl, ens, repl, repl),
                 out_shardings=ens)
+            self._rep_jit = jax.jit(
+                repetition, in_shardings=(repl, ens, repl, repl),
+                out_shardings=(ens, ens))
 
     # -- latent-space helpers ------------------------------------------------
 
@@ -228,6 +253,9 @@ class ForecastPipeline:
     def forecast_latents(self, known_latents_norm, year_progress, key):
         """(E, T_in, 15, 30, 84) normalized conditioning latents ->
         (E, total_steps, 15, 30, 84) normalized forecast latents."""
+        if self.host_step:
+            return self._forecast_hostloop(known_latents_norm,
+                                           year_progress, key)
         if self._ens_sharding is not None:
             E = known_latents_norm.shape[0]
             known_latents_norm, pad = self._pad_members(known_latents_norm)
@@ -236,6 +264,33 @@ class ForecastPipeline:
             return traj[:E] if pad else traj
         return self._forecast_jit(self.dit_params, known_latents_norm,
                                   year_progress, key)
+
+    def _forecast_hostloop(self, known_latents_norm, year_progress, key):
+        """Host-stepped rollout: the same key split / perturbation /
+        per-repetition PRNG stream as the scanned ``ensemble_rollout``
+        (engine.py:81-96), so the trajectory is identical — JAX PRNG
+        draws are deterministic regardless of jit boundaries
+        (tests/test_pipeline_e2e.py asserts equality, incl.
+        noise_level > 0 and ens-mesh runs)."""
+        cfg = self.rollout_cfg
+        known = known_latents_norm
+        key, pert_key = jax.random.split(key)
+        if cfg.noise_level > 0:
+            pert = jax.random.normal(pert_key, known.shape[1:], known.dtype)
+            known = known + pert * cfg.noise_level * self.latent_std
+        rep_keys = jax.random.split(key, cfg.num_repetitions)
+        E = known.shape[0]
+        pad = 0
+        if self._ens_sharding is not None:
+            known, pad = self._pad_members(known)
+        outs = []
+        for r in range(cfg.num_repetitions):
+            known, samples = self._rep_jit(self.dit_params, known,
+                                           jnp.asarray(year_progress[r]),
+                                           rep_keys[r])
+            outs.append(samples)
+        traj = jnp.concatenate(outs, axis=1)[:, : cfg.total_num_steps]
+        return traj[:E] if pad else traj
 
     # -- convenience -------------------------------------------------------------
 

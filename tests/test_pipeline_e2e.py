@@ -164,3 +164,54 @@ def test_forecast_pipeline_ens_mesh_uneven(monkeypatch):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dec), np.asarray(r_dec),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_forecast_pipeline_host_step_matches_scanned(monkeypatch):
+    """ForecastPipeline(host_step=True) reproduces the scanned pipeline
+    (same key split -> same perturbation + per-repetition PRNG streams;
+    only program boundaries differ, so tolerance covers XLA fusion/
+    reduction-order drift). Covers noise_level > 0: the host-stepped
+    path applies the initial-latent perturbation eagerly with the SAME
+    pert_key the scanned engine uses inside jit."""
+    import dataclasses
+
+    pl_mod, args, fields = _tiny_pipeline_fixture(monkeypatch,
+                                                  ensemble_size=3)
+    for noise_level in (0.0, 0.5):
+        a = list(args)
+        a[3] = dataclasses.replace(a[3], noise_level=noise_level)
+        ref = pl_mod.ForecastPipeline(*a, compute_dtype="float32")
+        r_traj, r_dec, r_z = ref.forecast_from_fields(
+            fields, 2018070100, jax.random.PRNGKey(2))
+        pipe = pl_mod.ForecastPipeline(*a, compute_dtype="float32",
+                                       host_step=True)
+        traj, dec, z = pipe.forecast_from_fields(
+            fields, 2018070100, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(r_traj),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(r_dec),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(r_z))
+
+
+def test_forecast_pipeline_host_step_ens_mesh(monkeypatch):
+    """host_step composes with ens_mesh: members sharded over the
+    8-device mesh through the per-repetition programs (the pred_rollout
+    --shard_ensemble --host_step deployment), matching unsharded.
+    Ensemble 3 on 8 devices also exercises the member-padding path."""
+    from ladcast_tpu.parallel.mesh import make_mesh
+
+    pl_mod, args, fields = _tiny_pipeline_fixture(monkeypatch,
+                                                  ensemble_size=3)
+    ref = pl_mod.ForecastPipeline(*args, compute_dtype="float32")
+    r_traj, r_dec, _ = ref.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
+    pipe = pl_mod.ForecastPipeline(*args, compute_dtype="float32",
+                                   ens_mesh=make_mesh("ens"),
+                                   host_step=True)
+    traj, dec, _ = pipe.forecast_from_fields(
+        fields, 2018070100, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(r_traj),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(r_dec),
+                               rtol=2e-4, atol=2e-4)
