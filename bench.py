@@ -241,28 +241,50 @@ def make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=None,
         return np.asarray(jax.device_get(traj))
 
     def flops_per_forecast():
-        """XLA cost-analysis FLOPs of one forecast: num_repetitions x the
-        fused repetition+decode program + 1 encode. Uses the PJRT
-        compiled-executable cost analysis (exact HLO FLOP count, so the
-        MFU denominator is the real math, not a hand FLOPs model that
-        over/under-counts this hybrid dual-stream architecture). Returns
-        None when the backend does not expose cost analysis."""
+        """FLOPs of one full forecast for the MFU figure.
+
+        XLA's compiled cost analysis counts a While/scan body ONCE, not
+        times its trip count (measured round 5: the fused repetition
+        program reported ~constant flops across NFE 10/15/20/39), so the
+        sampler's scan over denoise steps cannot be costed from the
+        fused program. Instead the BARE batched denoiser forward, the
+        per-repetition frame decode, and the encode are compiled as
+        standalone (scan-free) programs, costed with the PJRT
+        compiled-executable analysis (exact HLO FLOPs -- not a hand
+        model that would over/under-count the dual-stream architecture),
+        and combined with the analytic call counts: Heun makes
+        2*NFE-1 network calls per repetition, DPM-Solver++(2M) makes
+        NFE. Returns None when the backend exposes no cost analysis."""
         try:
-            known0 = jnp.zeros((ens, T_in, H, W, C), jnp.float32)
-            if mesh is not None:
-                known0 = jax.device_put(known0, ens_sh)
-            rep_c = rep_jit.lower(
-                dit_params, dcae_params, known0,
-                jnp.asarray(0.5, jnp.float32),
-                jax.random.PRNGKey(0)).compile()
-            enc_c = encode_jit.lower(dcae_params, fields, static).compile()
-            fl = []
-            for c in (rep_c, enc_c):
+            def cost(fn, *a):
+                c = jax.jit(fn).lower(*a).compile()
                 ca = c.cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
-                fl.append(float(ca["flops"]))
-            return fl[0] * rcfg.num_repetitions + fl[1]
+                return float(ca["flops"])
+
+            x0 = jnp.zeros((ens, rcfg.return_seq_len, H, W, C),
+                           jnp.float32)
+            kn0 = jnp.zeros((ens, T_in, H, W, C), jnp.float32)
+            fr0 = jnp.zeros((ens * rcfg.return_seq_len, H, W, C),
+                            jnp.float32)
+            if mesh is not None:
+                x0 = jax.device_put(x0, ens_sh)
+                kn0 = jax.device_put(kn0, ens_sh)
+                fr0 = jax.device_put(fr0, ens_sh)
+            ee = jnp.zeros((ens,), jnp.float32)
+            f_net = cost(net_fn, dit_params, x0, ee, kn0, ee)
+            f_dec = cost(
+                lambda p, f: dcae.apply(p, f.astype(cdt),
+                                        method=AutoencoderDC.decode
+                                        ).astype(jnp.float32).mean(),
+                dcae_params, fr0)
+            f_enc = cost(encode, dcae_params, fields, static)
+            assert not rcfg.correction_skip_period  # bench is exact-only
+            ncalls = (2 * rcfg.num_inference_steps - 1
+                      if rcfg.sampler_type == "edm"
+                      else rcfg.num_inference_steps)
+            return rcfg.num_repetitions * (ncalls * f_net + f_dec) + f_enc
         except Exception as e:  # pragma: no cover - backend-dependent
             print(f"# cost analysis unavailable: {e!r}", flush=True)
             return None
