@@ -240,8 +240,9 @@ def make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=None,
         traj = jnp.concatenate(outs, axis=1)[:, : rcfg.total_num_steps]
         return np.asarray(jax.device_get(traj))
 
-    def flops_per_forecast():
-        """FLOPs of one full forecast for the MFU figure.
+    def flops_components():
+        """(f_net, f_dec, f_enc) FLOPs of one full forecast's component
+        programs, for the MFU figure.
 
         XLA's compiled cost analysis counts a While/scan body ONCE, not
         times its trip count (measured round 5: the fused repetition
@@ -280,18 +281,26 @@ def make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=None,
                                         ).astype(jnp.float32).mean(),
                 dcae_params, fr0)
             f_enc = cost(encode, dcae_params, fields, static)
-            assert not rcfg.correction_skip_period  # bench is exact-only
-            ncalls = (2 * rcfg.num_inference_steps - 1
-                      if rcfg.sampler_type == "edm"
-                      else rcfg.num_inference_steps)
-            return rcfg.num_repetitions * (ncalls * f_net + f_dec) + f_enc
+            return f_net, f_dec, f_enc
         except Exception as e:  # pragma: no cover - backend-dependent
             print(f"# cost analysis unavailable: {e!r}", flush=True)
             return None
 
+    def flops_per_forecast():
+        comps = flops_components()
+        if comps is None:
+            return None
+        f_net, f_dec, f_enc = comps
+        assert not rcfg.correction_skip_period  # bench is exact-only
+        ncalls = (2 * rcfg.num_inference_steps - 1
+                  if rcfg.sampler_type == "edm"
+                  else rcfg.num_inference_steps)
+        return rcfg.num_repetitions * (ncalls * f_net + f_dec) + f_enc
+
     return {"full_forecast": full_forecast,
             "full_forecast_traj": full_forecast_traj,
             "flops_per_forecast": flops_per_forecast,
+            "flops_components": flops_components,
             "ens": ens}
 
 
