@@ -21,6 +21,7 @@
 # Logs: /tmp/r5_<step>.log; JSON summaries land in the score dirs.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 L=/tmp/r5_queue.log
 echo "=== round-5 queue start $(date) ===" >> "$L"
 run() {
