@@ -23,19 +23,28 @@ channel regrouping *exactly*, including the quirk that the post-projection
 reshape regroups (q,k,v) by contiguous 3*head_dim channel blocks rather
 than by projection role (DCAE.py:239-243) -- published weights depend on it.
 
-Timestep conditioning (``temb_channels``) is not wired in: the shipped
-ERA5 config trains without it (configs/DC_AE_84_pretrain.yaml has no
-temb_channels), and encode/decode are deterministic.
+Timestep conditioning (``temb_channels``, DCAE.py:845-854) is wired in
+for capability parity: ``encode``/``decode``/``__call__`` take an
+optional ``time_elapsed`` (B,) that is sinusoid-embedded
+(Timesteps(256) -> TimestepEmbedding, DCAE.py:1062-1066) and modulates
+every ResBlock (scale/shift between the convs, DCAE.py:362-368) and
+every EfficientViT attention (AdaLayerNormZero-style pre-norm + output
+gate, DCAE.py:36-64, 189-197). No shipped config enables it
+(configs/DC_AE_84_pretrain.yaml has no temb_channels); with
+``temb_channels=None`` (default) the parameter tree and outputs are
+byte-identical to the unconditioned model.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ladcast_tpu.config import DCAEConfig
+from ladcast_tpu.ops.embeddings import timestep_embedding
 from ladcast_tpu.ops.norms import rms_norm
 from ladcast_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ladcast_tpu.ops.sphere import sphere_conv2d
@@ -78,15 +87,24 @@ class RMSNormLayer(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """DCAE.py:327-377 (norm_type=rms_norm, act_fn=silu)."""
+    """DCAE.py:327-377 (norm_type=rms_norm, act_fn=silu).
+
+    With ``temb`` (B, K): scale/shift modulation between the convs from
+    Linear(K, 2C) of the silu'd embedding (DCAE.py:351-352, 362-368;
+    the reference passes temb through the block's own nonlinearity)."""
 
     out_channels: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, temb=None):
         residual = x
         h = SphereConv(x.shape[-1], name="conv1")(x)
         h = nn.silu(h)
+        if temb is not None:
+            ss = nn.Dense(2 * self.out_channels,
+                          name="time_emb_porj")(nn.silu(temb))
+            scale, shift = jnp.split(ss, 2, axis=-1)
+            h = h * scale[:, None, None, :] + shift[:, None, None, :]
         h = SphereConv(self.out_channels, use_bias=False, name="conv2")(h)
         h = RMSNormLayer(eps=1e-5, name="norm")(h)
         return h + residual
@@ -133,11 +151,36 @@ class SanaMultiscaleProjection(nn.Module):
         return out.reshape(*h.shape[:-1], ch)
 
 
+class AdaLayerNormZeroSingle(nn.Module):
+    """AdaLayerNormZeroSingle4Sana (DCAE.py:36-64): fp32 LayerNorm
+    (eps 1e-15, no affine) modulated by SiLU -> Linear(C, 3C) of the
+    projected temb; returns (x_modulated, gate)."""
+
+    @nn.compact
+    def __call__(self, x, emb):
+        C = x.shape[-1]
+        e = nn.Dense(3 * C, name="linear")(nn.silu(emb))
+        shift, scale, gate = jnp.split(e, 3, axis=-1)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-15)).astype(x.dtype)
+        xm = (xn * (1.0 + scale[:, None, None, :])
+              + shift[:, None, None, :])
+        return xm, gate
+
+
 class SanaMultiscaleLinearAttention(nn.Module):
     """DCAE.py:96-267 with residual_connection=True.
 
     ReLU linear attention over spatial tokens with the +1-pad
     normalization trick, computed in float32 (DCAE.py:158-175).
+
+    With ``temb`` (B, K): AdaLayerNormZero pre-norm replaces the raw
+    input (the residual then connects from the NORMED tensor, exactly
+    the reference processor's residual placement, DCAE.py:189-197, 217)
+    and the (B, C) gate multiplies the attention output after ``to_out``
+    and before ``norm_out`` (DCAE.py:256-257).
     """
 
     out_channels: int
@@ -147,12 +190,17 @@ class SanaMultiscaleLinearAttention(nn.Module):
     mult: float = 1.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, temb=None):
         B, H, W, C = x.shape
         hd = self.attention_head_dim
         num_heads = int(C // hd * self.mult)
         inner = num_heads * hd
 
+        gate = None
+        if temb is not None:
+            t = nn.Dense(self.out_channels,
+                         name="time_emb_porj")(nn.relu(temb))
+            x, gate = AdaLayerNormZeroSingle(name="norm_in")(x, t)
         residual = x
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, name="to_k")(x)
@@ -192,6 +240,8 @@ class SanaMultiscaleLinearAttention(nn.Module):
         out = out.astype(x.dtype).reshape(B, H, W, G * hd)
 
         out = nn.Dense(self.out_channels, use_bias=False, name="to_out")(out)
+        if gate is not None:
+            out = out * gate[:, None, None, :]
         out = RMSNormLayer(eps=1e-5, name="norm_out")(out)
         return out + residual
 
@@ -203,11 +253,11 @@ class EfficientViTBlock(nn.Module):
     qkv_multiscales: Tuple[int, ...] = (5,)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, temb=None):
         x = SanaMultiscaleLinearAttention(
             out_channels=x.shape[-1],
             attention_head_dim=self.attention_head_dim,
-            kernel_sizes=self.qkv_multiscales, name="attn")(x)
+            kernel_sizes=self.qkv_multiscales, name="attn")(x, temb)
         x = GLUMBConv(out_channels=x.shape[-1], name="conv_out")(x)
         return x
 
@@ -271,7 +321,7 @@ class Encoder(nn.Module):
     cfg: DCAEConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, temb=None):
         cfg = self.cfg
         widths = cfg.encoder_block_out_channels
         n_stages = len(widths)
@@ -285,7 +335,7 @@ class Encoder(nn.Module):
                 h = _make_block(cfg.encoder_block_types[i], width,
                                 cfg.attention_head_dim,
                                 cfg.encoder_qkv_multiscales[i],
-                                name=f"down_blocks_{idx}")(h)
+                                name=f"down_blocks_{idx}")(h, temb)
                 idx += 1
             if i < n_stages - 1 and n_layers > 0:
                 h = DCDownBlock(out_channels=widths[i + 1],
@@ -307,7 +357,7 @@ class Decoder(nn.Module):
     cfg: DCAEConfig
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, temb=None):
         cfg = self.cfg
         widths = cfg.decoder_block_out_channels
         n_stages = len(widths)
@@ -329,7 +379,7 @@ class Decoder(nn.Module):
                 h = _make_block(cfg.decoder_block_types[i], width,
                                 cfg.attention_head_dim,
                                 cfg.decoder_qkv_multiscales[i],
-                                name=f"up_blocks_{idx}")(h)
+                                name=f"up_blocks_{idx}")(h, temb)
                 idx += 1
 
         h = RMSNormLayer(eps=1e-7, name="norm_out")(h)
@@ -339,6 +389,20 @@ class Decoder(nn.Module):
             cfg.decoder_conv_act_fn]
         h = act(h)
         return SphereConv(cfg.out_channels, name="conv_out")(h)
+
+
+class TimestepEmbedder(nn.Module):
+    """Timesteps(256, flip_sin_to_cos=True, downscale_freq_shift=0)
+    followed by diffusers TimestepEmbedding (Linear-SiLU-Linear), the
+    pair DCAE builds when temb_channels is set (DCAE.py:845-851)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        e = timestep_embedding(t, 256)
+        e = nn.Dense(self.dim, name="linear_1")(e)
+        return nn.Dense(self.dim, name="linear_2")(nn.silu(e))
 
 
 class AutoencoderDC(nn.Module):
@@ -354,8 +418,20 @@ class AutoencoderDC(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, name="encoder")
         self.decoder = Decoder(self.cfg, name="decoder")
+        if self.cfg.temb_channels:
+            self.timestep_embedder = TimestepEmbedder(
+                self.cfg.temb_channels, name="timestep_embedder")
 
-    def encode(self, x, static_conditioning=None):
+    def _temb(self, time_elapsed):
+        """(B,) raw timesteps -> (B, temb_channels) embedding
+        (DCAE.py:983-985: Timesteps(256) then TimestepEmbedding)."""
+        if time_elapsed is None:
+            return None
+        assert self.cfg.temb_channels, \
+            "time_elapsed given but cfg.temb_channels is unset"
+        return self.timestep_embedder(time_elapsed)
+
+    def encode(self, x, static_conditioning=None, time_elapsed=None):
         if static_conditioning is not None:
             if static_conditioning.ndim == 3:
                 static_conditioning = jnp.broadcast_to(
@@ -363,14 +439,16 @@ class AutoencoderDC(nn.Module):
                     (x.shape[0], *static_conditioning.shape))
             x = jnp.concatenate(
                 [x, static_conditioning.astype(x.dtype)], axis=-1)
-        return self.encoder(x)
+        return self.encoder(x, self._temb(time_elapsed))
 
-    def decode(self, z, return_static: bool = False):
-        y = self.decoder(z)
+    def decode(self, z, return_static: bool = False, time_elapsed=None):
+        y = self.decoder(z, self._temb(time_elapsed))
         if not return_static and self.cfg.static_channels:
             y = y[..., : -self.cfg.static_channels]
         return y
 
-    def __call__(self, x, static_conditioning=None, return_static: bool = False):
-        z = self.encode(x, static_conditioning)
-        return self.decode(z, return_static=return_static)
+    def __call__(self, x, static_conditioning=None,
+                 return_static: bool = False, time_elapsed=None):
+        z = self.encode(x, static_conditioning, time_elapsed=time_elapsed)
+        return self.decode(z, return_static=return_static,
+                           time_elapsed=time_elapsed)

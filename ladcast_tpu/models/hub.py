@@ -213,6 +213,9 @@ def build_param_template(kind: str, cfg) -> Dict:
         from ladcast_tpu.models.dcae import AutoencoderDC
 
         model = AutoencoderDC(cfg)
+        kw = {}
+        if cfg.temb_channels:
+            kw["time_elapsed"] = jax.ShapeDtypeStruct((1,), jnp.float32)
         return jax.eval_shape(
             model.init, jax.random.PRNGKey(0),
             jax.ShapeDtypeStruct(
@@ -220,7 +223,7 @@ def build_param_template(kind: str, cfg) -> Dict:
                  cfg.in_channels - cfg.static_channels), jnp.float32),
             jax.ShapeDtypeStruct(
                 (ch.GRID_LAT, ch.GRID_LON, cfg.static_channels),
-                jnp.float32))
+                jnp.float32), **kw)
     from ladcast_tpu.models.ladcast_dit import LaDCastTransformer3D
 
     model = LaDCastTransformer3D(cfg)

@@ -70,10 +70,12 @@ def _dcae_rule(path: Tuple[str, ...]) -> Tuple[str, Callable]:
     """Map one flax param path of AutoencoderDC to (ref name, transform)."""
     ref = list(path)
     leaf = ref.pop()
-    # down_blocks_3 -> down_blocks.3 etc.
+    # down_blocks_3 -> down_blocks.3 etc. (but timestep_embedder's
+    # linear_1/linear_2 are literal diffusers module names, not indices)
     parts = []
     for p in ref:
-        if "_" in p and p.rsplit("_", 1)[-1].isdigit():
+        if (p not in ("linear_1", "linear_2")
+                and "_" in p and p.rsplit("_", 1)[-1].isdigit()):
             stem, idx = p.rsplit("_", 1)
             parts.extend([stem, idx])
         else:

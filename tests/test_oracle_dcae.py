@@ -193,3 +193,80 @@ def test_decode_latent_ens_parity():
     dec = np.asarray(dec) * fs + fm
     got = np.moveaxis(dec.reshape(E, T, H, W, DYN), -1, 1)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_dcae_temb_parity():
+    """Timestep-conditioned DCAE (temb_channels: Timesteps(256) +
+    TimestepEmbedding, DCAE.py:845-854 / 983-985; ResBlock scale-shift
+    between the convs, DCAE.py:351-352, 362-368; EViT AdaLayerNormZero
+    pre-norm + output gate, DCAE.py:36-64, 146-153, 189-197, 256-257)
+    against the ACTUAL reference module, weights through the production
+    converter. The unconditioned tests above pin that temb_channels=None
+    keeps the legacy tree/outputs."""
+    ref_mod = load_reference("ladcast.models.DCAE")
+    torch.manual_seed(2)
+    common = dict(
+        in_channels=DYN + STATIC,
+        latent_channels=4,
+        attention_head_dim=4,
+        static_channels=STATIC,
+        temb_channels=12,
+    )
+    shape_kw = dict(
+        encoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+        decoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+        encoder_block_out_channels=(8, 16, 32),
+        decoder_block_out_channels=(8, 16, 32),
+        encoder_layers_per_block=(1, 1, 1),
+        decoder_layers_per_block=(1, 1, 1),
+        encoder_qkv_multiscales=((), (), (5,)),
+        decoder_qkv_multiscales=((), (), (5,)))
+    ref = ref_mod.AutoencoderDC(
+        out_channels=None, decoder_norm_types="rms_norm",
+        decoder_act_fns="silu", **shape_kw, **common)
+    ref.eval()
+    cfg = DCAEConfig(
+        out_channels=DYN + STATIC, decoder_norm_types=("rms_norm",) * 3,
+        decoder_act_fns=("silu",) * 3, **shape_kw, **common)
+    model = AutoencoderDC(cfg)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(B, DYN, H, W).astype(np.float32)
+    static = rng.randn(B, STATIC, H, W).astype(np.float32)
+    t = np.asarray([0.5, 3.0], np.float32)
+
+    with torch.no_grad():
+        want_z = ref.encode(
+            torch.from_numpy(x), return_dict=False,
+            temb=torch.from_numpy(t),
+            static_conditioning_tensor=torch.from_numpy(static))[0].numpy()
+        want_y = ref.decode(torch.from_numpy(want_z), return_dict=False,
+                            temb=torch.from_numpy(t))[0].numpy()
+        want_full = ref(torch.from_numpy(x), return_dict=False,
+                        time_elapsed=torch.from_numpy(t),
+                        static_conditioning_tensor=torch.from_numpy(static),
+                        return_static=True)[0].numpy()
+
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
+    st_j = jnp.asarray(static.transpose(0, 2, 3, 1))
+    t_j = jnp.asarray(t)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x_j, st_j,
+                           time_elapsed=t_j))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = jax.tree.map(jnp.asarray,
+                          convert_dcae_state_dict(state_dict_numpy(ref),
+                                                  template))
+
+    got_z = model.apply(params, x_j, st_j, time_elapsed=t_j,
+                        method=AutoencoderDC.encode)
+    np.testing.assert_allclose(np.asarray(got_z).transpose(0, 3, 1, 2),
+                               want_z, atol=1e-4, rtol=1e-4)
+    got_y = model.apply(params, got_z, time_elapsed=t_j,
+                        method=AutoencoderDC.decode)
+    np.testing.assert_allclose(np.asarray(got_y).transpose(0, 3, 1, 2),
+                               want_y, atol=1e-4, rtol=1e-4)
+    got_full = model.apply(params, x_j, st_j, return_static=True,
+                           time_elapsed=t_j)
+    np.testing.assert_allclose(np.asarray(got_full).transpose(0, 3, 1, 2),
+                               want_full, atol=1e-4, rtol=1e-4)
