@@ -183,3 +183,54 @@ def test_pred_rollout_shard_ensemble_flag(tmp_path):
     std_c = a.std(axis=(0, 2, 3, 4)) + 1e-6
     rel = np.abs(a - b).max(axis=(0, 2, 3, 4)) / std_c
     assert rel.max() < 0.25, f"sharded CLI diverged: per-chan rel {rel.max()}"
+
+
+@pytest.mark.slow
+def test_pred_rollout_dpm_int8_host_step_compose(tmp_path):
+    """The production fast path composes through the CLI: ``--sampler
+    dpm`` (the reference's own pipeline_AR sampler) + ``--int8_matmuls``
+    + ``--host_step`` together must produce a valid artifact whose t=0
+    analysis frame is bit-identical to the exact run (neither lever may
+    touch the encoder) and whose forecast frames stay close to the
+    bf16 dpm-only trajectory (int8 deviation bound as measured in
+    PERFORMANCE.md, amplified here by the random expansive tiny net)."""
+    from ladcast_tpu.cli import pred_rollout
+
+    dit = LaDCastTransformer3D(TINY_DIT_84)
+    dp = dit.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, 15, 30, 84)),
+                  jnp.zeros((1,)), jnp.zeros((1, 1, 15, 30, 84)),
+                  jnp.zeros((1,)))
+    dcae = AutoencoderDC(TINY_DCAE_84)
+    cp = dcae.init(jax.random.PRNGKey(0), jnp.zeros((1, 120, 240, 84)),
+                   jnp.zeros((120, 240, 5)))
+    dit_dir, dcae_dir = str(tmp_path / "dit"), str(tmp_path / "dcae")
+    hub.save_pretrained(dit_dir, "dit", TINY_DIT_84, dp)
+    hub.save_pretrained(dcae_dir, "dcae", TINY_DCAE_84, cp)
+
+    fm, fs = static_data.era5_mean_std()
+    rng = np.random.RandomState(0)
+    ts = np.asarray([2018010100], np.int64)
+    fields = (rng.randn(1, 120, 240, 84) * fs + fm).astype(np.float32)
+    era5 = str(tmp_path / "era5.npz")
+    np.savez(era5, fields=fields, timestamps=ts)
+
+    common = [
+        "--data", era5, "--dit_params", dit_dir, "--dcae_params", dcae_dir,
+        "--year", "2018", "--num_samples_per_month", "1",
+        "--ensemble_size", "2", "--num_inference_steps", "4",
+        "--return_seq_len", "2", "--total_lead_time_hour", "12",
+        "--sampler", "dpm"]
+    out_dpm = str(tmp_path / "out_dpm")
+    pred_rollout.main(common + ["--output_dir", out_dpm])
+    out_fast = str(tmp_path / "out_fast")
+    pred_rollout.main(common + ["--output_dir", out_fast,
+                                "--int8_matmuls", "--host_step"])
+
+    a = np.load(os.path.join(out_dpm, "latent_2018010100.npy"))
+    b = np.load(os.path.join(out_fast, "latent_2018010100.npy"))
+    assert b.shape == a.shape == (2, 84, 3, 15, 30)
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a[:, :, 0], b[:, :, 0])
+    std_c = a.std(axis=(0, 2, 3, 4)) + 1e-6
+    rel = np.abs(a - b).max(axis=(0, 2, 3, 4)) / std_c
+    assert rel.max() < 0.5, f"int8+host_step diverged: rel {rel.max()}"
