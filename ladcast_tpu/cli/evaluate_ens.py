@@ -63,50 +63,64 @@ def make_score_fn(dcae, dcae_params, lat_w, field_stats=None,
     @jax.jit
     def _score(p, z, truth, climate):
         # z: (E, T, h, w, C) physical latents; truth/climate:
-        # (T, H, W, C) physical
-        E, T = z.shape[:2]
-        zT = jnp.swapaxes(z, 0, 1)  # chunk over lead time: (T, E, h, w, C)
+        # (T, H, W, C) physical.
+        #
+        # One lead time per lax.map step, metrics reduced INSIDE the
+        # step: the full decoded ensemble (E, T, H, W, C) is ~8 GB fp32
+        # at the production protocol (20 members x 41 leads full-res)
+        # and materializing it plus decode temps OOMed a 16 GB v5e
+        # (37.7 GB HBM ask, round-5 chain run). Every metric reduces
+        # over trailing (lat, lon) per lead, so only (E, H, W, C) for
+        # ONE lead is ever live.
+        zT = jnp.swapaxes(z, 0, 1)  # (T, E, h, w, C)
         if ens_spec is not None:
-            # lax.map steps over lead times; shard each chunk's members
+            # lax.map steps over lead times; shard each step's members
             # so every step decodes in parallel on all devices
             zT = jax.lax.with_sharding_constraint(zT, ens_spec)
-        dec = jax.lax.map(
-            lambda zz: dcae.apply(p, zz, method=AutoencoderDC.decode),
-            zT)
-        dec = jnp.moveaxis(dec, 0, 1)  # (E, T, H, W, C)
-        dec = transforms.inverse_normalize(dec, fm, fs, 1.0)  # physical
 
         lw = lat_w.reshape(-1, 1)
+        lwv = lat_w.astype(jnp.float32)
 
-        # nan-aware reductions throughout: truth NaNs exist only in the
-        # SST channel over land (the reference uses nanmean there,
-        # evaluate_ens_gpu.py:339-419); for NaN-free channels nanmean
-        # equals mean, so one code path covers all channels.
-        fc = jnp.moveaxis(dec, -1, 0)        # (C, E, T, H, W)
-        tr = jnp.moveaxis(truth, -1, 0)      # (C, T, H, W)
-        cl = jnp.moveaxis(climate, -1, 0)
-        ens_mean = fc.mean(axis=1)
-        mse = scores.lat_weighted_mse(ens_mean, tr, lw, nan_safe=True)
-        crps_map = scores.crps(fc, tr[:, None], ensemble_axis=1)
-        crps_v = jnp.nanmean(crps_map * lw, axis=(-2, -1))
-        acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe=True)
-        out = {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
-        if diagnostics:
-            # Ensemble-calibration diagnostics (beyond the reference):
-            # spread (for the spread/skill ratio), rank histogram, and
-            # zonal power spectra of ens-mean vs truth (blur check).
-            # Truth NaNs (SST land) are zero-weighted / zero-filled for
-            # the spectrum (channel 82's spectrum is indicative only).
-            valid = jnp.isfinite(tr)
-            out["spread"] = scores.ensemble_spread(
-                fc, lw, ensemble_axis=1, nan_mask=valid)
-            out["rank_hist"] = scores.rank_histogram(
-                fc, tr, lw, ensemble_axis=1)
-            lwv = lat_w.astype(jnp.float32)
-            out["spectrum_fc"] = scores.zonal_power_spectrum(ens_mean, lwv)
-            out["spectrum_truth"] = scores.zonal_power_spectrum(
-                jnp.nan_to_num(tr), lwv)
-        return out
+        def per_lead(args):
+            zz, tr_t, cl_t = args  # (E, h, w, C), (H, W, C), (H, W, C)
+            dec = dcae.apply(p, zz, method=AutoencoderDC.decode)
+            dec = transforms.inverse_normalize(dec, fm, fs, 1.0)
+
+            # nan-aware reductions throughout: truth NaNs exist only in
+            # the SST channel over land (the reference uses nanmean
+            # there, evaluate_ens_gpu.py:339-419); for NaN-free channels
+            # nanmean equals mean, so one code path covers all channels.
+            fc = jnp.moveaxis(dec, -1, 0)    # (C, E, H, W)
+            tr = jnp.moveaxis(tr_t, -1, 0)   # (C, H, W)
+            cl = jnp.moveaxis(cl_t, -1, 0)
+            ens_mean = fc.mean(axis=1)
+            mse = scores.lat_weighted_mse(ens_mean, tr, lw, nan_safe=True)
+            crps_map = scores.crps(fc, tr[:, None], ensemble_axis=1)
+            crps_v = jnp.nanmean(crps_map * lw, axis=(-2, -1))
+            acc_v = scores.acc(ens_mean, tr, cl, lw, nan_safe=True)
+            out = {"ens_mean_mse": mse, "crps": crps_v, "acc": acc_v}
+            if diagnostics:
+                # Ensemble-calibration diagnostics (beyond the
+                # reference): spread (for the spread/skill ratio), rank
+                # histogram, and zonal power spectra of ens-mean vs
+                # truth (blur check). Truth NaNs (SST land) are
+                # zero-weighted / zero-filled for the spectrum (channel
+                # 82's spectrum is indicative only).
+                valid = jnp.isfinite(tr)
+                out["spread"] = scores.ensemble_spread(
+                    fc, lw, ensemble_axis=1, nan_mask=valid)
+                out["rank_hist"] = scores.rank_histogram(
+                    fc, tr, lw, ensemble_axis=1)
+                out["spectrum_fc"] = scores.zonal_power_spectrum(
+                    ens_mean, lwv)
+                out["spectrum_truth"] = scores.zonal_power_spectrum(
+                    jnp.nan_to_num(tr), lwv)
+            return out
+
+        outs = jax.lax.map(per_lead, (zT, truth, climate))
+        # every metric was (C, T, ...) in the all-leads formulation;
+        # lax.map stacks the lead axis first -> move it back to axis 1
+        return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), outs)
 
     def score(latents_phys, truth, climate):
         # params passed explicitly: closure-captured trees stall/overflow
