@@ -1,0 +1,122 @@
+"""Collect the round-5 production CLI-chain scores into the repo.
+
+Reads /tmp/chain_<variant>_scores/summary.json for each scored variant
+(exact / int8 / dpm20 / dpm20_int8 — the hardware protocol run by
+scripts/round5_queue.sh + round5_queue2.sh: cli.pred_rollout 20 members x
+240 h x 4 init times -> cli.evaluate_ens physical-unit decode+scoring,
+the TPU equivalent of the reference's evaluate/evaluate_ens_gpu.py
+protocol, reference README.md:124-149), copies the raw summaries into
+results/round5_chain/, and prints two markdown tables for
+PERFORMANCE.md:
+
+  1. per-variable day-1/5/10 RMSE for exact, with relative deltas for
+     each fast variant;
+  2. same for CRPS.
+
+Also pulls per-init rollout wall seconds from /tmp/r5_chain_<v>.log.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import shutil
+import sys
+
+VARIANTS = ["exact", "int8", "dpm20", "dpm20_int8"]
+REPO = pathlib.Path(__file__).resolve().parent.parent
+OUT = REPO / "results" / "round5_chain"
+
+
+def load(variant: str):
+    p = pathlib.Path(f"/tmp/chain_{variant}_scores/summary.json")
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def chain_walls(variant: str):
+    log = pathlib.Path(f"/tmp/r5_chain_{variant}.log")
+    if not log.exists():
+        return []
+    walls = []
+    for line in log.read_text().splitlines():
+        m = re.search(r'"seconds": ([0-9.]+)', line)
+        if m:
+            walls.append(float(m.group(1)))
+    return walls
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+    data = {}
+    for v in VARIANTS:
+        s = load(v)
+        if s is None:
+            print(f"[skip] {v}: no summary yet", file=sys.stderr)
+            continue
+        data[v] = s
+        shutil.copy(f"/tmp/chain_{v}_scores/summary.json", OUT / f"{v}.json")
+        walls = chain_walls(v)
+        if walls:
+            (OUT / f"{v}_rollout_walls.json").write_text(
+                json.dumps({"per_init_s": walls}) + "\n"
+            )
+    if "exact" not in data:
+        print("exact summary missing -- tables need the baseline", file=sys.stderr)
+        return 1
+
+    exact = data["exact"]
+    fast = [v for v in VARIANTS[1:] if v in data]
+    variables = list(exact.keys())
+
+    for metric in ("rmse", "crps"):
+        print(f"\n### {metric.upper()} (physical units; day1/day5/day10)\n")
+        hdr = "| variable | exact " + "".join(
+            f"| {v} Δ% " for v in fast
+        ) + "|"
+        print(hdr)
+        print("|---" * (2 + len(fast)) + "|")
+        for var in variables:
+            e = exact[var]
+            cells = [
+                "/".join(f"{e[d][metric]:.4g}" for d in ("day1", "day5", "day10"))
+            ]
+            for v in fast:
+                f = data[v][var]
+                deltas = []
+                for d in ("day1", "day5", "day10"):
+                    base = e[d][metric]
+                    deltas.append(
+                        100.0 * (f[d][metric] - base) / base if base else 0.0
+                    )
+                cells.append("/".join(f"{x:+.2f}" for x in deltas))
+            print(f"| {var} | " + " | ".join(cells) + " |")
+
+    print("\n### Rollout wall clock per init (s; first includes compile)\n")
+    print("| variant | per-init wall (s) |")
+    print("|---|---|")
+    for v in VARIANTS:
+        walls = chain_walls(v)
+        if walls:
+            print(f"| {v} | " + ", ".join(f"{w:.1f}" for w in walls) + " |")
+
+    # Mean relative deltas across all variables/days for a one-line verdict.
+    print()
+    for v in fast:
+        for metric in ("rmse", "crps"):
+            rel = []
+            for var in variables:
+                for d in ("day1", "day5", "day10"):
+                    base = exact[var][d][metric]
+                    if base:
+                        rel.append((data[v][var][d][metric] - base) / base)
+            print(
+                f"{v} mean {metric} delta vs exact: {100.0 * sum(rel) / len(rel):+.3f} %"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
