@@ -35,10 +35,20 @@ def main():
     # LADCAST_INT8=1: A/B the opt-in w8a8 path at 1.6B shapes (same
     # gate/semantics as bench.py; PERFORMANCE.md science gate applies).
     int8 = bool(os.environ.get("LADCAST_INT8"))
+    # --sampler edm|dpm / --nfe N mirror bench.py: dpm is the reference's
+    # own pipeline_AR sampler (N NFE per chunk vs Heun's 2N-1).
+    argv = sys.argv[1:]
+
+    def flag_val(name, default):
+        return argv[argv.index(name) + 1] if name in argv else default
+
+    sampler = flag_val("--sampler", "edm")
+    nfe = int(flag_val("--nfe", "20"))
     dit_cfg = ladcast_1p6b_config(int8_matmuls=int8)
     dcae_cfg = DCAEConfig()
     sched_cfg = EDMSchedulerConfig()
-    rcfg = RolloutConfig(ensemble_size=20)
+    rcfg = RolloutConfig(ensemble_size=20, sampler_type=sampler,
+                         num_inference_steps=nfe)
 
     dit = LaDCastTransformer3D(dit_cfg)
     dcae = AutoencoderDC(dcae_cfg)
@@ -97,7 +107,8 @@ def main():
     dt = time.time() - t0
     print(json.dumps({
         "metric": "1.6B 20-member 240h ensemble rollout wall-clock (1 chip)"
-                  + (" [int8]" if int8 else ""),
+                  + (" [int8]" if int8 else "")
+                  + (f" [{sampler}-{nfe}]" if sampler != "edm" else ""),
         "value": round(dt, 2), "unit": "s"}), flush=True)
 
 
