@@ -181,7 +181,10 @@ def make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=None,
 
     year_progress = np.linspace(0.4, 0.45, rcfg.num_repetitions)
 
-    def full_forecast(key, dispatch_stats=None):
+    def _run_forecast(key, dispatch_stats=None, collect_traj=False):
+        """The one dispatch loop both the timed path and the test hook
+        share — a single implementation so tests/test_bench_mesh.py can
+        never drift from what main() actually times."""
         z = encode_jit(dcae_params, fields, static)
         known = jnp.broadcast_to(z[None], (ens, T_in, H, W, C))
         if mesh is not None:
@@ -220,25 +223,17 @@ def make_bench(dit_cfg, dcae_cfg, sched_cfg, rcfg, mesh=None,
         # at full speed); fail loudly instead.
         assert np.isfinite(acc_f) and np.isfinite(mean_f), \
             (acc_f, mean_f)
+        if collect_traj:
+            return np.asarray(jax.device_get(traj))
         return acc_f, mean_f
 
+    def full_forecast(key, dispatch_stats=None):
+        return _run_forecast(key, dispatch_stats=dispatch_stats)
+
     def full_forecast_traj(key):
-        """Test hook: the full latent trajectory (E, steps, H, W, C),
-        same dispatch sequence as full_forecast."""
-        z = encode_jit(dcae_params, fields, static)
-        known = jnp.broadcast_to(z[None], (ens, T_in, H, W, C))
-        if mesh is not None:
-            known = jax.device_put(known, ens_sh)
-        key, _pert = jax.random.split(key)
-        rep_keys = jax.random.split(key, rcfg.num_repetitions)
-        outs = []
-        for r in range(rcfg.num_repetitions):
-            known, samples, _ = rep_jit(
-                dit_params, dcae_params, known,
-                jnp.asarray(year_progress[r]), rep_keys[r])
-            outs.append(samples)
-        traj = jnp.concatenate(outs, axis=1)[:, : rcfg.total_num_steps]
-        return np.asarray(jax.device_get(traj))
+        """Test hook: the full latent trajectory (E, steps, H, W, C) from
+        the identical dispatch sequence main() times."""
+        return _run_forecast(key, collect_traj=True)
 
     def flops_components():
         """(f_net, f_dec, f_enc) FLOPs of one full forecast's component
@@ -316,10 +311,22 @@ def main():
     argv = sys.argv[1:]
 
     def flag_val(name, default):
-        return argv[argv.index(name) + 1] if name in argv else default
+        if name not in argv:
+            return default
+        i = argv.index(name)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"{name} requires a value")
+        return argv[i + 1]
 
     sampler = flag_val("--sampler", "edm")
-    nfe = int(flag_val("--nfe", "20"))
+    if sampler not in ("edm", "dpm"):
+        raise SystemExit(f"--sampler must be edm or dpm, got {sampler!r}")
+    try:
+        nfe = int(flag_val("--nfe", "20"))
+    except ValueError:
+        raise SystemExit(f"--nfe must be an integer")
+    if nfe < 1:
+        raise SystemExit("--nfe must be >= 1")
 
     n_chips = len(jax.devices())
 

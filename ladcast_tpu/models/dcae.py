@@ -431,7 +431,8 @@ class AutoencoderDC(nn.Module):
             "time_elapsed given but cfg.temb_channels is unset"
         return self.timestep_embedder(time_elapsed)
 
-    def encode(self, x, static_conditioning=None, time_elapsed=None):
+    def encode(self, x, static_conditioning=None, time_elapsed=None,
+               temb=None):
         if static_conditioning is not None:
             if static_conditioning.ndim == 3:
                 static_conditioning = jnp.broadcast_to(
@@ -439,16 +440,24 @@ class AutoencoderDC(nn.Module):
                     (x.shape[0], *static_conditioning.shape))
             x = jnp.concatenate(
                 [x, static_conditioning.astype(x.dtype)], axis=-1)
-        return self.encoder(x, self._temb(time_elapsed))
+        if temb is None:
+            temb = self._temb(time_elapsed)
+        return self.encoder(x, temb)
 
-    def decode(self, z, return_static: bool = False, time_elapsed=None):
-        y = self.decoder(z, self._temb(time_elapsed))
+    def decode(self, z, return_static: bool = False, time_elapsed=None,
+               temb=None):
+        if temb is None:
+            temb = self._temb(time_elapsed)
+        y = self.decoder(z, temb)
         if not return_static and self.cfg.static_channels:
             y = y[..., : -self.cfg.static_channels]
         return y
 
     def __call__(self, x, static_conditioning=None,
                  return_static: bool = False, time_elapsed=None):
-        z = self.encode(x, static_conditioning, time_elapsed=time_elapsed)
-        return self.decode(z, return_static=return_static,
-                           time_elapsed=time_elapsed)
+        # Embed once and pass the embedding to both halves, as the
+        # reference's full forward does (DCAE.py:1067-1068 computes temb
+        # once and calls encode/decode with embedded_t=True).
+        temb = self._temb(time_elapsed)
+        z = self.encode(x, static_conditioning, temb=temb)
+        return self.decode(z, return_static=return_static, temb=temb)

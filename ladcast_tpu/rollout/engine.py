@@ -202,16 +202,26 @@ def ensemble_rollout_hostloop(
     year_progress,
     key: jax.Array,
     cfg: RolloutConfig,
+    latent_std: Optional[jnp.ndarray] = None,
 ):
     """Host-stepped AR rollout driving a jitted repetition function.
 
-    PRNG contract matches :func:`ensemble_rollout`: per-repetition keys
-    come from one split of ``key`` (after the perturbation split), so the
-    scanned and host-stepped rollouts produce identical ensembles given
-    identical inputs (noise_level=0 path).
+    PRNG contract matches :func:`ensemble_rollout` exactly — the same
+    perturbation split, the same member-independent initial-latent
+    perturbation when ``cfg.noise_level > 0`` (requires ``latent_std``),
+    and per-repetition keys from one split of ``key`` — so the scanned
+    and host-stepped rollouts produce identical ensembles given
+    identical inputs. This is the single implementation of that
+    contract; ``ForecastPipeline`` (``--host_step``) delegates here
+    (tests/test_pipeline_e2e.py asserts the equality end to end).
     """
     n_reps = cfg.num_repetitions
-    key, _pert = jax.random.split(key)
+    key, pert_key = jax.random.split(key)
+    if cfg.noise_level > 0:
+        assert latent_std is not None
+        pert = jax.random.normal(pert_key, known_latents.shape[1:],
+                                 known_latents.dtype)
+        known_latents = known_latents + pert * cfg.noise_level * latent_std
     rep_keys = jax.random.split(key, n_reps)
     outs = []
     known = known_latents

@@ -266,30 +266,24 @@ class ForecastPipeline:
                                   year_progress, key)
 
     def _forecast_hostloop(self, known_latents_norm, year_progress, key):
-        """Host-stepped rollout: the same key split / perturbation /
-        per-repetition PRNG stream as the scanned ``ensemble_rollout``
-        (engine.py:81-96), so the trajectory is identical — JAX PRNG
-        draws are deterministic regardless of jit boundaries
-        (tests/test_pipeline_e2e.py asserts equality, incl.
-        noise_level > 0 and ens-mesh runs)."""
+        """Host-stepped rollout via ``engine.ensemble_rollout_hostloop``
+        (the single implementation of the scanned==host-stepped PRNG
+        contract), plus the pipeline's member padding for ens-mesh runs.
+        The initial-latent perturbation is member-independent, so it
+        commutes with the member-row padding
+        (tests/test_pipeline_e2e.py asserts equality vs the scanned
+        engine, incl. noise_level > 0 and ens-mesh runs)."""
+        from ladcast_tpu.rollout.engine import ensemble_rollout_hostloop
+
         cfg = self.rollout_cfg
         known = known_latents_norm
-        key, pert_key = jax.random.split(key)
-        if cfg.noise_level > 0:
-            pert = jax.random.normal(pert_key, known.shape[1:], known.dtype)
-            known = known + pert * cfg.noise_level * self.latent_std
-        rep_keys = jax.random.split(key, cfg.num_repetitions)
         E = known.shape[0]
         pad = 0
         if self._ens_sharding is not None:
             known, pad = self._pad_members(known)
-        outs = []
-        for r in range(cfg.num_repetitions):
-            known, samples = self._rep_jit(self.dit_params, known,
-                                           jnp.asarray(year_progress[r]),
-                                           rep_keys[r])
-            outs.append(samples)
-        traj = jnp.concatenate(outs, axis=1)[:, : cfg.total_num_steps]
+        traj = ensemble_rollout_hostloop(
+            self._rep_jit, self.dit_params, known, year_progress, key,
+            cfg, latent_std=self.latent_std)
         return traj[:E] if pad else traj
 
     # -- convenience -------------------------------------------------------------

@@ -40,9 +40,16 @@ def main():
     argv = sys.argv[1:]
 
     def flag_val(name, default):
-        return argv[argv.index(name) + 1] if name in argv else default
+        if name not in argv:
+            return default
+        i = argv.index(name)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"{name} requires a value")
+        return argv[i + 1]
 
     sampler = flag_val("--sampler", "edm")
+    if sampler not in ("edm", "dpm"):
+        raise SystemExit(f"--sampler must be edm or dpm, got {sampler!r}")
     nfe = int(flag_val("--nfe", "20"))
     dit_cfg = ladcast_1p6b_config(int8_matmuls=int8)
     dcae_cfg = DCAEConfig()

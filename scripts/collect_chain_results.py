@@ -69,10 +69,23 @@ def main():
 
     exact = data["exact"]
     fast = [v for v in VARIANTS[1:] if v in data]
-    variables = list(exact.keys())
+    # evaluate_ens emits {"final": ...} instead of day keys when the
+    # scored lead budget is under a day; use whichever lead labels the
+    # exact summary actually carries, and only score variables every
+    # variant shares (a variant scored with a narrower --variables list
+    # must not crash the table for the rest).
+    variables = [
+        var for var in exact
+        if all(var in data[v] for v in fast)
+    ]
+    first_var = next(iter(exact.values()), {})
+    days = [d for d in ("day1", "day5", "day10") if d in first_var] or list(
+        first_var.keys()
+    )
+    day_label = "/".join(days)
 
     for metric in ("rmse", "crps"):
-        print(f"\n### {metric.upper()} (physical units; day1/day5/day10)\n")
+        print(f"\n### {metric.upper()} (physical units; {day_label})\n")
         hdr = "| variable | exact " + "".join(
             f"| {v} Δ% " for v in fast
         ) + "|"
@@ -80,13 +93,11 @@ def main():
         print("|---" * (2 + len(fast)) + "|")
         for var in variables:
             e = exact[var]
-            cells = [
-                "/".join(f"{e[d][metric]:.4g}" for d in ("day1", "day5", "day10"))
-            ]
+            cells = ["/".join(f"{e[d][metric]:.4g}" for d in days)]
             for v in fast:
                 f = data[v][var]
                 deltas = []
-                for d in ("day1", "day5", "day10"):
+                for d in days:
                     base = e[d][metric]
                     deltas.append(
                         100.0 * (f[d][metric] - base) / base if base else 0.0
@@ -108,13 +119,15 @@ def main():
         for metric in ("rmse", "crps"):
             rel = []
             for var in variables:
-                for d in ("day1", "day5", "day10"):
+                for d in days:
                     base = exact[var][d][metric]
                     if base:
                         rel.append((data[v][var][d][metric] - base) / base)
-            print(
-                f"{v} mean {metric} delta vs exact: {100.0 * sum(rel) / len(rel):+.3f} %"
-            )
+            if rel:
+                print(
+                    f"{v} mean {metric} delta vs exact: "
+                    f"{100.0 * sum(rel) / len(rel):+.3f} %"
+                )
     return 0
 
 

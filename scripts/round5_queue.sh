@@ -23,6 +23,9 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 L=/tmp/r5_queue.log
+# round5_queue2.sh serializes on this pid file -- write it ourselves so
+# the gate works no matter how this script is launched.
+echo $$ > /tmp/r5q.pid
 echo "=== round-5 queue start $(date) ===" >> "$L"
 run() {
   local name=$1; shift

@@ -140,6 +140,11 @@ def make_field_data(args):
         return f_phys, z2.astype(jnp.float32)
 
     n_tr = args.train_frames
+    if n_tr >= args.frames:
+        raise SystemExit(
+            f"--train_frames ({n_tr}) must be < --frames ({args.frames}): "
+            "the eval window would be empty"
+        )
     chunk = 20
     z_tr, f_ev = [], []
     t0 = time.time()

@@ -269,7 +269,10 @@ def test_sharded_latent_source_lazy(tmp_path):
     # batch_iterator-compatible: scalar + list index forms
     np.testing.assert_array_equal(src.frames([3]), full[[3]])
 
-    # laziness: sparse 1.6 GB shard (400k frames x 4 KiB), touch 3 rows
+    # laziness: sparse 1.6 GB shard (400k frames x 4 KiB), touch 3 rows.
+    # Measured in a SUBPROCESS: ru_maxrss is a process-lifetime high-water
+    # mark, so an in-process delta is vacuous when earlier suite tests
+    # already peaked higher (full-res DCAE tests do).
     big_frames = 400_000
     big_path = os.fspath(tmp_path / "big.npy")
     big = np.lib.format.open_memmap(
@@ -278,12 +281,31 @@ def test_sharded_latent_source_lazy(tmp_path):
     big[0] = 1.0
     big[big_frames - 1] = 2.0
     del big
-    ts2 = np.arange(big_frames, dtype=np.int64) + 2018010100
-    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
-    src2 = ShardedLatentSource([big_path], ts2)
-    got = src2.frames(np.asarray([0, big_frames - 1, 17]))
-    assert got.shape == (3, 8, 16, 8)
-    assert got[0, 0, 0, 0] == 1.0 and got[1, 0, 0, 0] == 2.0
-    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    assert rss1 - rss0 < 300_000, \
-        f"mmap fallback materialized the archive ({(rss1 - rss0) / 1024:.0f} MB RSS growth)"
+    import pathlib
+    import subprocess
+    import sys as _sys
+    # NOTE: the child must report VmHWM, not ru_maxrss — ru_maxrss
+    # inherits the parent's fork-time high-water mark on Linux (a pytest
+    # parent with torch/jax loaded forks at ~400+ MB), while VmHWM is
+    # reset by execve.
+    snippet = f"""
+import numpy as np
+from ladcast_tpu.data.latent_dataset import ShardedLatentSource
+ts2 = np.arange({big_frames}, dtype=np.int64) + 2018010100
+src2 = ShardedLatentSource([{big_path!r}], ts2)
+got = src2.frames(np.asarray([0, {big_frames} - 1, 17]))
+assert got.shape == (3, 8, 16, 8)
+assert got[0, 0, 0, 0] == 1.0 and got[1, 0, 0, 0] == 2.0
+hwm = [l for l in open("/proc/self/status") if l.startswith("VmHWM")]
+print(int(hwm[0].split()[1]))
+"""
+    env = dict(os.environ, PYTHONPATH=os.fspath(
+        pathlib.Path(__file__).resolve().parent.parent))
+    out = subprocess.run([_sys.executable, "-c", snippet], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    peak_kib = int(out.stdout.strip().splitlines()[-1])
+    # numpy + interpreter baseline is ~60-100 MB; materializing the
+    # 1.6 GB shard would blow far past 300 MB.
+    assert peak_kib < 300_000, \
+        f"mmap fallback materialized the archive (peak RSS {peak_kib / 1024:.0f} MB)"
