@@ -1,9 +1,9 @@
 """Collect the round-5 production CLI-chain scores into the repo.
 
 Reads /tmp/chain_<variant>_scores/summary.json for each scored variant
-(exact / int8 / dpm20 / dpm20_int8 — the hardware protocol run by
-scripts/round5_queue.sh + round5_queue2.sh: cli.pred_rollout 20 members x
-240 h x 4 init times -> cli.evaluate_ens physical-unit decode+scoring,
+(exact / int8 / dpm20 / dpm15 / dpm10 / dpm20_int8 — the hardware
+protocol run by scripts/round5_queue{,2,3}.sh: cli.pred_rollout 20
+members x 240 h x 4 init times -> cli.evaluate_ens decode+scoring,
 the TPU equivalent of the reference's evaluate/evaluate_ens_gpu.py
 protocol, reference README.md:124-149), copies the raw summaries into
 results/round5_chain/, and prints two markdown tables for
@@ -24,7 +24,7 @@ import re
 import shutil
 import sys
 
-VARIANTS = ["exact", "int8", "dpm20", "dpm20_int8"]
+VARIANTS = ["exact", "int8", "dpm20", "dpm15", "dpm10", "dpm20_int8"]
 REPO = pathlib.Path(__file__).resolve().parent.parent
 OUT = REPO / "results" / "round5_chain"
 
