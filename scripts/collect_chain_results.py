@@ -18,6 +18,7 @@ Also pulls per-init rollout wall seconds from /tmp/r5_chain_<v>.log.
 
 from __future__ import annotations
 
+import argparse
 import json
 import pathlib
 import re
@@ -49,6 +50,19 @@ def chain_walls(variant: str):
 
 
 def main():
+    # --variants/--out let a later hardware run (e.g. the dpm15/dpm10
+    # NFE-frontier chains, which retrain the rehearsal checkpoint and so
+    # need their OWN exact baseline) land in a separate results dir
+    # without overwriting the committed round5_chain tables.
+    global VARIANTS, OUT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS),
+                    help="comma-separated variant names; 'exact' required")
+    ap.add_argument("--out", default=str(OUT),
+                    help="results dir to copy summaries into")
+    args = ap.parse_args()
+    VARIANTS = [v for v in args.variants.split(",") if v]
+    OUT = pathlib.Path(args.out)
     OUT.mkdir(parents=True, exist_ok=True)
     data = {}
     for v in VARIANTS:
