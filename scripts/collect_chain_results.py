@@ -28,17 +28,18 @@ import sys
 VARIANTS = ["exact", "int8", "dpm20", "dpm15", "dpm10", "dpm20_int8"]
 REPO = pathlib.Path(__file__).resolve().parent.parent
 OUT = REPO / "results" / "round5_chain"
+ROOT = pathlib.Path("/tmp")
 
 
 def load(variant: str):
-    p = pathlib.Path(f"/tmp/chain_{variant}_scores/summary.json")
+    p = ROOT / f"chain_{variant}_scores/summary.json"
     if not p.exists():
         return None
     return json.loads(p.read_text())
 
 
 def chain_walls(variant: str):
-    log = pathlib.Path(f"/tmp/r5_chain_{variant}.log")
+    log = ROOT / f"r5_chain_{variant}.log"
     if not log.exists():
         return []
     walls = []
@@ -54,15 +55,18 @@ def main():
     # NFE-frontier chains, which retrain the rehearsal checkpoint and so
     # need their OWN exact baseline) land in a separate results dir
     # without overwriting the committed round5_chain tables.
-    global VARIANTS, OUT
+    global VARIANTS, OUT, ROOT
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default=",".join(VARIANTS),
                     help="comma-separated variant names; 'exact' required")
     ap.add_argument("--out", default=str(OUT),
                     help="results dir to copy summaries into")
+    ap.add_argument("--scores_root", default=str(ROOT),
+                    help="dir holding chain_<v>_scores/ + r5_chain_<v>.log")
     args = ap.parse_args()
     VARIANTS = [v for v in args.variants.split(",") if v]
     OUT = pathlib.Path(args.out)
+    ROOT = pathlib.Path(args.scores_root)
     OUT.mkdir(parents=True, exist_ok=True)
     data = {}
     for v in VARIANTS:
@@ -71,7 +75,7 @@ def main():
             print(f"[skip] {v}: no summary yet", file=sys.stderr)
             continue
         data[v] = s
-        shutil.copy(f"/tmp/chain_{v}_scores/summary.json", OUT / f"{v}.json")
+        shutil.copy(ROOT / f"chain_{v}_scores/summary.json", OUT / f"{v}.json")
         walls = chain_walls(v)
         if walls:
             (OUT / f"{v}_rollout_walls.json").write_text(
