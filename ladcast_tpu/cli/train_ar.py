@@ -125,6 +125,14 @@ def main(argv=None):
                          "model dirs <out>/hub/ar_model{,_ema} "
                          "(config.json + reference-layout safetensors), "
                          "shippable to diffusers/reference users")
+    ap.add_argument("--skip_state_ckpt", action="store_true",
+                    help="skip the orbax TrainState checkpoints (params+"
+                         "opt+EMA) and write only the --hub_export dirs. "
+                         "For measurement runs whose only artifact is the "
+                         "final weights: the orbax save copies the full "
+                         "~4x-params state off-device in one bulk async "
+                         "transfer, which can wedge a remote-attached "
+                         "device link (observed on the axon tunnel)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--mesh", default=None,
                     help="device-mesh spec, e.g. 'data=-1' (pure DP, "
@@ -449,10 +457,6 @@ def main(argv=None):
                 run_validation(state, step)
         if step % ckpt_every == 0 or step == num_steps:
             with timer.phase("checkpoint"):
-                # hand orbax the live (possibly TP/ZeRO-sharded) arrays:
-                # it serializes each shard without gathering the full
-                # state onto one host/device
-                ckpt.save_state(mgr, step, state)
                 if args.hub_export:
                     # diffusers-layout export (the reference's training
                     # hooks write ar_model/ + ar_model_ema/ the same way,
@@ -482,6 +486,14 @@ def main(argv=None):
                                 "update_after_step":
                                     tcfg.ema_update_after_step,
                                 "optimization_step": int(state.step)})
+                if not args.skip_state_ckpt:
+                    # hand orbax the live (possibly TP/ZeRO-sharded)
+                    # arrays: it serializes each shard without gathering
+                    # the full state onto one host/device. Runs AFTER the
+                    # hub export so the inference-usable weights exist
+                    # even if this bulk off-device copy wedges a remote
+                    # device link (observed once on the axon tunnel).
+                    ckpt.save_state(mgr, step, state)
     mgr.wait_until_finished()
     logger.close()
     # returned for tests (sharding assertions); ignored by __main__

@@ -67,7 +67,13 @@ def fetch_full_tree(tree):
     must be called by all processes, OUTSIDE any rank guard.
     Single-process: plain device_get."""
     if jax.process_count() == 1:
-        return jax.device_get(tree)
+        # Fetch leaf-by-leaf, serially: a single device_get of the whole
+        # tree kicks off D2H copies for every leaf at once, and a
+        # multi-GB in-flight burst can wedge a remote-attached device
+        # link (observed on the axon tunnel during a 375M hub export).
+        # Serial per-leaf fetches keep the in-flight window to one
+        # array (<~30 MB for the 375M) at identical total bytes.
+        return jax.tree.map(lambda x: jax.device_get(x), tree)
     from jax.experimental import multihost_utils
     return jax.tree.map(
         lambda x: multihost_utils.process_allgather(x, tiled=True), tree)

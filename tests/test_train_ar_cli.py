@@ -136,6 +136,24 @@ def test_train_ar_hub_export(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_ar_skip_state_ckpt(tmp_path):
+    """--skip_state_ckpt writes the hub export but no orbax TrainState
+    dirs (measurement runs whose only artifact is the final weights;
+    avoids the bulk off-device state copy that can wedge a remote
+    device link)."""
+    from ladcast_tpu.cli import train_ar
+    from ladcast_tpu.models import hub
+
+    cfg, lat = _fixtures(tmp_path)
+    out = os.fspath(tmp_path / "run_skip")
+    train_ar.main(["--config", cfg, "--latents", lat, "--output_dir", out,
+                   "--num_steps", "2", "--seed", "11", "--hub_export",
+                   "--skip_state_ckpt"])
+    assert hub.load_pretrained(os.path.join(out, "hub")).kind == "dit"
+    ckpts = os.path.join(out, "ckpts")
+    assert not os.path.isdir(ckpts) or os.listdir(ckpts) == []
+
+
 def test_train_ar_checkpoint_resume(tmp_path):
     from ladcast_tpu.cli import train_ar
 
